@@ -1,0 +1,94 @@
+"""CLI driver — same contract as the reference binary.
+
+``python -m advanced_hpc_lbm_tpu <paramfile> <obstaclefile>`` mirrors
+``./d2q9-bgk <paramfile> <obstaclefile>`` (usage at d2q9-bgk.c:3009-3013):
+runs the deck, prints the ``==done==`` / Reynolds / four-timer block
+(:216-221), and writes final_state.dat + av_vels.dat in the cwd.
+
+Extensions beyond the reference (all optional flags):
+  --backend   fused (default) | pallas | pipeline | sharded
+  --debug     per-step av-velocity + total-density prints (the reference's
+              #ifdef DEBUG build, d2q9-bgk.c:196-200)
+  --profile   capture a jax.profiler trace of the compute phase
+  --out-dir   where to write outputs (default: cwd)
+  --iters     override maxIters from the deck
+  --devices   shard over N devices (1-D y mesh) when backend=sharded
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from advanced_hpc_lbm_tpu.models.d2q9_bgk import Simulation
+from advanced_hpc_lbm_tpu.utils.io import DeckError
+from advanced_hpc_lbm_tpu.utils.timers import PhaseTimers
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="advanced_hpc_lbm_tpu",
+        description="TPU-native D2Q9-BGK lattice Boltzmann solver",
+    )
+    p.add_argument("paramfile")
+    p.add_argument("obstaclefile")
+    p.add_argument(
+        "--backend",
+        default="fused",
+        choices=["fused", "pallas", "pipeline", "sharded"],
+    )
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--profile", metavar="TRACE_DIR", default=None)
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--devices", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    timers = PhaseTimers()
+
+    with timers.phase("init"):
+        try:
+            sim = Simulation.from_decks(
+                args.paramfile, args.obstaclefile, backend=args.backend
+            )
+        except (OSError, DeckError) as e:
+            # clean hard-exit on bad inputs, like die() (d2q9-bgk.c:3001-3007)
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+
+    profiler_cm = None
+    if args.profile:
+        import jax.profiler
+
+        profiler_cm = jax.profiler.trace(args.profile)
+        profiler_cm.__enter__()
+
+    with timers.phase("compute"):
+        result = sim.run(n_iters=args.iters, debug=args.debug, devices=args.devices)
+
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
+
+    if args.debug:
+        for tt, (av, dens) in enumerate(zip(result.av_vels, result.densities)):
+            print(f"==timestep: {tt}==")
+            print(f"av velocity: {av:.12E}")
+            print(f"tot density: {dens:.12E}")
+
+    with timers.phase("collate"):
+        # device->host transfer happened inside run(); here we only format.
+        reynolds = result.reynolds
+
+    print("==done==")
+    print(f"Reynolds number:\t\t{reynolds:.12E}")
+    for line in timers.report_lines():
+        print(line)
+    result.write(args.out_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,178 @@
+"""The D2Q9-BGK simulation model: state + end-to-end run.
+
+This is the "model family" of the framework — the layer a user touches.  It
+owns deck loading, backend selection (fused jnp / Pallas / sharded), the
+on-device main loop, diagnostics (Reynolds number, d2q9-bgk.c:2893-2898),
+and output writing.  The reference equivalent is ``main``
+(d2q9-bgk.c:146-226) minus the argv/timing scaffolding, which lives in
+:mod:`advanced_hpc_lbm_tpu.cli`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from advanced_hpc_lbm_tpu.ops import fused, reference
+from advanced_hpc_lbm_tpu.params import LBMParams
+from advanced_hpc_lbm_tpu.utils import io as lbm_io
+
+Backend = Literal["fused", "pallas", "sharded", "pipeline"]
+
+
+@dataclasses.dataclass
+class SimulationResult:
+    """Host-side results of one run."""
+
+    params: LBMParams
+    f_final: np.ndarray  # (9, ny, nx) fp32
+    av_vels: np.ndarray  # (max_iters,) fp32
+    densities: np.ndarray | None = None  # per-step total density (debug mode)
+
+    @property
+    def reynolds(self) -> float:
+        """av_velocity(final state) * reynolds_dim / viscosity
+        (calc_reynolds, d2q9-bgk.c:2893-2898).  Computed host-side from the
+        final state, like the reference does at exit (d2q9-bgk.c:217)."""
+        f = self.f_final.astype(np.float32)
+        rho = f.sum(axis=0)
+        u_x = (f[1] + f[5] + f[8] - (f[3] + f[6] + f[7])) / rho
+        u_y = (f[2] + f[5] + f[6] - (f[4] + f[7] + f[8])) / rho
+        fluid = ~self._obstacles_cache
+        norm = np.sqrt(u_x * u_x + u_y * u_y, dtype=np.float32)
+        av = np.float32(norm[fluid].sum(dtype=np.float32)) / np.float32(
+            fluid.sum()
+        )
+        return float(av * np.float32(self.params.reynolds_dim) / np.float32(
+            self.params.viscosity
+        ))
+
+    # filled in by Simulation.run; kept out of the dataclass signature
+    _obstacles_cache: np.ndarray = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    def write(
+        self,
+        out_dir: str | os.PathLike = ".",
+        *,
+        final_state_name: str = lbm_io.FINAL_STATE_FILE,
+        av_vels_name: str = lbm_io.AV_VELS_FILE,
+    ) -> tuple[str, str]:
+        """Write final_state.dat + av_vels.dat (write_values,
+        d2q9-bgk.c:2918-2999)."""
+        fs = os.path.join(out_dir, final_state_name)
+        av = os.path.join(out_dir, av_vels_name)
+        lbm_io.write_final_state(fs, self.f_final, self._obstacles_cache, self.params)
+        lbm_io.write_av_vels(av, self.av_vels)
+        return fs, av
+
+
+class Simulation:
+    """One configured D2Q9-BGK run: params + obstacle mask + backend."""
+
+    def __init__(
+        self,
+        params: LBMParams,
+        obstacles: np.ndarray,
+        *,
+        backend: Backend = "fused",
+        precision: Literal["fp32"] = "fp32",
+    ) -> None:
+        if obstacles.shape != (params.ny, params.nx):
+            raise ValueError(
+                f"obstacle mask {obstacles.shape} != grid ({params.ny}, {params.nx})"
+            )
+        self.params = params
+        self.obstacles = np.asarray(obstacles, dtype=bool)
+        self.backend = backend
+        self._step_fn = self._resolve_backend(backend)
+
+    @classmethod
+    def from_decks(
+        cls,
+        paramfile: str | os.PathLike,
+        obstaclefile: str | os.PathLike,
+        **kwargs,
+    ) -> "Simulation":
+        params = lbm_io.load_params(paramfile)
+        obstacles = lbm_io.load_obstacles(obstaclefile, params)
+        return cls(params, obstacles, **kwargs)
+
+    def _resolve_backend(self, backend: Backend):
+        if backend == "fused":
+            return fused.fused_step
+        if backend == "pipeline":
+            def pipeline_step(f, obstacles, n_fluid, params):
+                del n_fluid
+                return reference.timestep_pipeline(f, obstacles, params)
+            return pipeline_step
+        if backend == "pallas":
+            from advanced_hpc_lbm_tpu.ops.pallas_step import pallas_fused_step
+            return pallas_fused_step
+        if backend == "sharded":
+            # resolved lazily in run(); sharded execution wraps the whole
+            # scan, not the single step
+            return fused.fused_step
+        raise ValueError(f"unknown backend: {backend!r}")
+
+    def initial_state(self) -> jax.Array:
+        return reference.initial_state(self.params)
+
+    def run(
+        self,
+        *,
+        n_iters: int | None = None,
+        debug: bool = False,
+        devices: int | None = None,
+    ) -> SimulationResult:
+        """Execute the main loop fully on-device and fetch results.
+
+        ``debug`` also collects per-step total densities (the reference's
+        #ifdef DEBUG stream, d2q9-bgk.c:196-200).  ``devices`` > 1 selects
+        the sharded path over a 1-D y mesh (parallel/halo.py).
+        """
+        iters = self.params.max_iters if n_iters is None else n_iters
+        obstacles = jnp.asarray(self.obstacles)
+        f0 = self.initial_state()
+
+        if self.backend == "sharded" or (devices is not None and devices > 1):
+            from advanced_hpc_lbm_tpu.parallel import halo
+
+            f_final, av_vels = halo.run_sharded(
+                f0, obstacles, self.params, n_iters=iters, n_devices=devices
+            )
+            densities = None
+        else:
+            runner = jax.jit(
+                lambda f, o: fused.run_simulation(
+                    f,
+                    o,
+                    self.params,
+                    n_iters=iters,
+                    step_fn=self._step_fn,
+                    collect_density=debug,
+                ),
+                static_argnames=(),
+                donate_argnums=0,
+            )
+            out = runner(f0, obstacles)
+            if debug:
+                f_final, av_vels, densities = out
+            else:
+                f_final, av_vels = out
+                densities = None
+
+        result = SimulationResult(
+            params=self.params,
+            f_final=np.asarray(jax.device_get(f_final)),
+            av_vels=np.asarray(jax.device_get(av_vels)),
+            densities=None if densities is None else np.asarray(densities),
+        )
+        result._obstacles_cache = self.obstacles
+        return result

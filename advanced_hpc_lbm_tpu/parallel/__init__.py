@@ -1,0 +1,3 @@
+"""Multi-device execution: mesh construction + halo-exchanged domain
+decomposition (the parallelism the reference only stubbed out —
+d2q9-bgk.c:208 "Collate data from ranks here")."""
