@@ -1,0 +1,169 @@
+"""Halo-exchanged domain decomposition of the fused step.
+
+Spatial sharding along y over a 1-D device mesh: each device owns a slab of
+rows; per step it exchanges one boundary row in each direction with its ring
+neighbors via ``lax.ppermute`` (over ICI on real hardware) and reduces the
+average-velocity scalar with ``lax.psum``.  Global periodicity falls out of
+the ring permutation — the wrap rows that cost the reference its 1500 lines
+of peeling (d2q9-bgk.c:262-1810) are just the ring edge between device n-1
+and device 0.
+
+This communicates 6 of the 9 planes' worth of data per edge per step
+(N-moving {2,5,6} pulled from the south halo, S-moving {4,7,8} from the
+north halo) but ships all 9 in one contiguous row slab — simpler, and the
+slab is tiny (9*nx*4 B) relative to ICI bandwidth.
+
+The whole ``max_iters`` loop runs inside one ``shard_map`` + ``lax.scan``,
+so there is exactly one compiled program and zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from advanced_hpc_lbm_tpu.ops import lattice
+from advanced_hpc_lbm_tpu.params import LBMParams
+from advanced_hpc_lbm_tpu.parallel.mesh import make_y_mesh
+
+
+def _masked_accelerate(f, obstacles, row_mask, w1, w2):
+    """Forcing as a whole-grid masked update (row_mask selects global row
+    ny-2, which lives on exactly one shard).  Same math as
+    ops.reference.accelerate_flow, phrased mask-globally/apply-locally so
+    every device runs identical code (SURVEY.md section 7 step 5)."""
+    ok = (
+        row_mask[None, :, None]
+        & ~obstacles[None]
+        & (f[3:4] - w1 > 0.0)
+        & (f[6:7] - w2 > 0.0)
+        & (f[7:8] - w2 > 0.0)
+    )  # (1, local_ny, nx)
+    delta = jnp.zeros((lattice.NSPEEDS, 1, 1), f.dtype)
+    delta = delta.at[1].set(w1).at[5].set(w2).at[8].set(w2)
+    delta = delta.at[3].set(-w1).at[6].set(-w2).at[7].set(-w2)
+    return f + jnp.where(ok, delta, 0.0)
+
+
+def _local_fused_step(f, obstacles, row_mask, n_fluid, params, axis: str):
+    """One fused step on a local row slab, halo rows exchanged via ring
+    ppermute over ``axis``."""
+    n = jax.lax.psum(1, axis)
+    fwd = [(j, (j + 1) % n) for j in range(n)]
+    bwd = [(j, (j - 1) % n) for j in range(n)]
+
+    f = _masked_accelerate(f, obstacles, row_mask, params.accel_w1, params.accel_w2)
+
+    # south halo = my south neighbor's top edge is wrong way around:
+    # pull at local row 0 for north-moving speeds needs the neighbor
+    # *below* (smaller y), i.e. its LAST row, delivered forward round the
+    # ring; pull at the last local row for south-moving speeds needs the
+    # neighbor above's FIRST row, delivered backward.
+    south_halo = jax.lax.ppermute(f[:, -1:, :], axis, fwd)  # (9, 1, nx)
+    north_halo = jax.lax.ppermute(f[:, :1, :], axis, bwd)
+    f_ext = jnp.concatenate([south_halo, f, north_halo], axis=1)
+
+    local_ny = f.shape[1]
+    planes = []
+    for k in range(lattice.NSPEEDS):
+        cy, cx = int(lattice.CY[k]), int(lattice.CX[k])
+        rows = jax.lax.slice_in_dim(f_ext[k], 1 - cy, 1 - cy + local_ny, axis=0)
+        planes.append(jnp.roll(rows, cx, axis=1))
+    streamed = jnp.stack(planes)
+
+    rho = jnp.sum(streamed, axis=0)
+    u_x = (streamed[1] + streamed[5] + streamed[8]
+           - (streamed[3] + streamed[6] + streamed[7])) / rho
+    u_y = (streamed[2] + streamed[5] + streamed[6]
+           - (streamed[4] + streamed[7] + streamed[8])) / rho
+    u_sq = u_x * u_x + u_y * u_y
+    cx_v = jnp.asarray(lattice.CX, f.dtype)[:, None, None]
+    cy_v = jnp.asarray(lattice.CY, f.dtype)[:, None, None]
+    w_v = jnp.asarray(lattice.W)[:, None, None]
+    cu = cx_v * u_x[None] + cy_v * u_y[None]
+    c_sq = lattice.C_SQ
+    feq = w_v * rho[None] * (
+        1.0 + cu / c_sq + (cu * cu) / (2.0 * c_sq * c_sq)
+        - u_sq[None] / (2.0 * c_sq)
+    )
+    relaxed = streamed + params.omega_f32 * (feq - streamed)
+    reflected = streamed[jnp.asarray(lattice.OPP)]
+    f_next = jnp.where(obstacles[None], reflected, relaxed)
+
+    rho2 = jnp.sum(f_next, axis=0)
+    v_x = (f_next[1] + f_next[5] + f_next[8]
+           - (f_next[3] + f_next[6] + f_next[7])) / rho2
+    v_y = (f_next[2] + f_next[5] + f_next[6]
+           - (f_next[4] + f_next[7] + f_next[8])) / rho2
+    norm = jnp.sqrt(v_x * v_x + v_y * v_y)
+    tot_u_local = jnp.sum(jnp.where(obstacles, 0.0, norm))
+    av = jax.lax.psum(tot_u_local, axis) / n_fluid
+    return f_next, av
+
+
+def make_sharded_runner(
+    mesh: Mesh, params: LBMParams, n_iters: int, axis: str = "y"
+):
+    """Build the jitted sharded main loop for a given mesh + deck shape.
+
+    Returns (runner, shardings) where runner(f0, obstacles, row_mask,
+    n_fluid) -> (f_final, av_vels)."""
+    f_spec = P(None, axis, None)
+    grid_spec = P(axis, None)
+    row_spec = P(axis)
+
+    def whole_run(f, obstacles, row_mask, n_fluid):
+        def body(carry_f, _):
+            f_next, av = _local_fused_step(
+                carry_f, obstacles, row_mask, n_fluid, params, axis
+            )
+            return f_next, av
+
+        return jax.lax.scan(body, f, None, length=n_iters)
+
+    mapped = jax.shard_map(
+        whole_run,
+        mesh=mesh,
+        in_specs=(f_spec, grid_spec, row_spec, P()),
+        out_specs=(f_spec, P()),
+    )
+    runner = jax.jit(mapped, donate_argnums=0)
+    shardings = {
+        "f": NamedSharding(mesh, f_spec),
+        "grid": NamedSharding(mesh, grid_spec),
+        "row": NamedSharding(mesh, row_spec),
+        "scalar": NamedSharding(mesh, P()),
+    }
+    return runner, shardings
+
+
+def run_sharded(
+    f0: jax.Array,
+    obstacles: jax.Array,
+    params: LBMParams,
+    *,
+    n_iters: int | None = None,
+    n_devices: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Execute the full loop sharded along y. Drop-in replacement for
+    ops.fused.run_simulation (same outputs, same numerics up to fp
+    reduction order)."""
+    iters = params.max_iters if n_iters is None else n_iters
+    mesh = make_y_mesh(n_devices)
+    n = mesh.devices.size
+    if params.ny % n:
+        raise ValueError(f"ny={params.ny} not divisible by {n} devices")
+
+    row_mask = jnp.zeros(params.ny, bool).at[params.ny - 2].set(True)
+    n_fluid = jnp.sum(~obstacles).astype(jnp.float32)
+    runner, sh = make_sharded_runner(mesh, params, iters)
+
+    f0 = jax.device_put(f0, sh["f"])
+    obstacles = jax.device_put(obstacles, sh["grid"])
+    row_mask = jax.device_put(row_mask, sh["row"])
+    n_fluid = jax.device_put(n_fluid, sh["scalar"])
+    return runner(f0, obstacles, row_mask, n_fluid)

@@ -1,0 +1,115 @@
+"""Golden-output tests against the reference's shipped check/ files.
+
+The reference validates exclusively end-to-end (SURVEY.md section 4); these
+tests reproduce that contract at two costs: a fast 100-step prefix
+comparison (runs on CPU in seconds) and a full 40k-step 128x128 run marked
+slow (the exact `make check` contract, Makefile:19-20).
+"""
+
+import numpy as np
+import pytest
+
+from advanced_hpc_lbm_tpu.models.d2q9_bgk import Simulation
+from advanced_hpc_lbm_tpu.utils import check as lbm_check
+from advanced_hpc_lbm_tpu.utils import io as lbm_io
+
+from conftest import REFERENCE_DIR, requires_reference
+
+
+def rel_pcnt(ref, sim):
+    diff = ref - sim
+    return 100.0 * diff / (ref - diff)
+
+
+@requires_reference
+class TestGoldenPrefix:
+    """First-100-steps av_vels comparison — catches any semantic slip
+    (wrong guard, wrong row, off-by-one in streaming) immediately; fp32
+    drift is ~1e-5 % at this horizon."""
+
+    @pytest.mark.parametrize("deck", ["128x128", "128x256"])
+    def test_av_vels_prefix(self, deck):
+        sim = Simulation.from_decks(
+            f"{REFERENCE_DIR}/input_{deck}.params",
+            f"{REFERENCE_DIR}/obstacles_{deck}.dat",
+        )
+        n = 100
+        res = sim.run(n_iters=n)
+        golden = np.loadtxt(
+            f"{REFERENCE_DIR}/check/{deck}.av_vels.dat", usecols=[1], max_rows=n
+        )
+        pc = rel_pcnt(golden, res.av_vels.astype(np.float64))
+        assert np.all(np.isfinite(pc))
+        assert np.max(np.abs(pc)) < 0.01, f"max prefix diff {np.max(np.abs(pc))}%"
+
+    def test_pipeline_backend_prefix(self):
+        """The legacy-granularity pipeline backend hits the same goldens."""
+        sim = Simulation.from_decks(
+            f"{REFERENCE_DIR}/input_128x128.params",
+            f"{REFERENCE_DIR}/obstacles_128x128.dat",
+            backend="pipeline",
+        )
+        res = sim.run(n_iters=50)
+        golden = np.loadtxt(
+            f"{REFERENCE_DIR}/check/128x128.av_vels.dat", usecols=[1], max_rows=50
+        )
+        pc = rel_pcnt(golden, res.av_vels.astype(np.float64))
+        assert np.max(np.abs(pc)) < 0.01
+
+
+@requires_reference
+@pytest.mark.slow
+class TestGoldenFull:
+    def test_128x128_full_check(self, tmp_path):
+        """The complete `make check` contract on the smallest deck."""
+        sim = Simulation.from_decks(
+            f"{REFERENCE_DIR}/input_128x128.params",
+            f"{REFERENCE_DIR}/obstacles_128x128.dat",
+        )
+        res = sim.run()
+        fs, av = res.write(tmp_path)
+        result = lbm_check.check_files(
+            f"{REFERENCE_DIR}/check/128x128.av_vels.dat",
+            f"{REFERENCE_DIR}/check/128x128.final_state.dat",
+            av,
+            fs,
+        )
+        assert result.passed, (result.av_vels, result.final_state)
+        # README.md:98 expected Reynolds for this deck
+        assert abs(res.reynolds - 9.751927) / 9.751927 < 0.01
+
+
+class TestChecker:
+    def test_identical_files_pass(self, tmp_path):
+        av = tmp_path / "av.dat"
+        fs = tmp_path / "fs.dat"
+        av.write_text("0:\t1.000000000000E-05\n1:\t2.000000000000E-05\n")
+        fs.write_text(
+            "0 0 0.0E+00 0.0E+00 0.0E+00 3.3E-02 1\n"
+            "1 0 0.0E+00 0.0E+00 0.0E+00 3.3E-02 0\n"
+        )
+        res = lbm_check.check_files(str(av), str(fs), str(av), str(fs))
+        assert res.passed
+        assert res.av_vels.total == 0.0
+
+    def test_tolerance_violation_fails(self, tmp_path):
+        av1 = tmp_path / "a1.dat"
+        av2 = tmp_path / "a2.dat"
+        fs = tmp_path / "fs.dat"
+        av1.write_text("0:\t1.000000000000E-05\n")
+        av2.write_text("0:\t1.050000000000E-05\n")  # 5% off
+        fs.write_text("0 0 0.0E+00 0.0E+00 0.0E+00 3.3E-02 1\n")
+        res = lbm_check.check_files(str(av1), str(fs), str(av2), str(fs))
+        assert not res.passed
+        assert not res.av_vels.passed(1.0)
+        assert res.final_state.passed(1.0)
+
+    def test_coordinate_mismatch_raises(self, tmp_path):
+        av = tmp_path / "av.dat"
+        fs1 = tmp_path / "fs1.dat"
+        fs2 = tmp_path / "fs2.dat"
+        av.write_text("0:\t1.0E-05\n")
+        fs1.write_text("0 0 0.0 0.0 0.0 3.3E-02 1\n")
+        fs2.write_text("0 1 0.0 0.0 0.0 3.3E-02 1\n")
+        with pytest.raises(ValueError, match="coordinates"):
+            lbm_check.check_files(str(av), str(fs1), str(av), str(fs2))
