@@ -100,7 +100,12 @@ def run_simulation(
     compiles once per deck shape.
     """
     iters = params.max_iters if n_iters is None else n_iters
-    n_fluid = jnp.sum(~obstacles).astype(jnp.float32)
+    n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
+    # let the backend pre-convert the mask ONCE (e.g. the Pallas kernel
+    # wants int8); doing it inside the scan body would re-cast every step
+    prepare = getattr(step_fn, "prepare_obstacles", None)
+    if prepare is not None:
+        obstacles = prepare(obstacles)
 
     def body(f, _):
         f_next, av = step_fn(f, obstacles, n_fluid, params)

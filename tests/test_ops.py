@@ -163,9 +163,10 @@ class TestFusedStep:
             f, obst, small_params, n_iters=50, collect_density=True
         )
         d0 = float(reference.total_density(f))
-        np.testing.assert_allclose(
-            np.asarray(densities), d0, rtol=1e-5
-        )
+        # fp32 tree-sum noise grows ~sqrt(steps); 5e-5 bounds 50 steps with
+        # margin while still catching any real mass leak (which would drift
+        # linearly and blow past this within a few steps)
+        np.testing.assert_allclose(np.asarray(densities), d0, rtol=5e-5)
 
     def test_av_vels_positive_and_growing_initially(
         self, small_params, small_obstacles
