@@ -1,0 +1,42 @@
+# Workflow parity with the reference Makefile (targets: all / check / clean,
+# check-file selection via variables — reference Makefile:1-25), adapted to
+# the Python/JAX engine.  "Building" here = editable install + native codec.
+
+PY ?= python
+REF ?= /root/reference
+
+# deck selection (override like: make run DECK=256x256)
+DECK ?= 128x128
+PARAMS = $(REF)/input_$(DECK).params
+OBSTACLES = $(REF)/obstacles_$(DECK).dat
+REF_AV_VELS_FILE = $(REF)/check/$(DECK).av_vels.dat
+REF_FINAL_STATE_FILE = $(REF)/check/$(DECK).final_state.dat
+
+.PHONY: all native test run check clean
+
+all: native
+	$(PY) -m pip install -e . --no-deps --no-build-isolation -q
+
+native:
+	$(PY) -m advanced_hpc_lbm_tpu.utils.native
+
+test:
+	$(PY) -m pytest tests/ -x -q -m "not slow"
+
+run:
+	$(PY) -m advanced_hpc_lbm_tpu $(PARAMS) $(OBSTACLES)
+
+# run `make run` first; mirrors the reference's `make check` contract
+check:
+	$(PY) -m advanced_hpc_lbm_tpu.utils.check \
+	    --ref-av-vels-file=$(REF_AV_VELS_FILE) \
+	    --ref-final-state-file=$(REF_FINAL_STATE_FILE) \
+	    --av-vels-file=./av_vels.dat \
+	    --final-state-file=./final_state.dat
+
+bench:
+	$(PY) bench.py
+
+clean:
+	rm -f final_state.dat av_vels.dat final_state.png final_state.pgm
+	rm -f native/libfastio.so

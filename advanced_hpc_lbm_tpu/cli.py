@@ -6,7 +6,7 @@ runs the deck, prints the ``==done==`` / Reynolds / four-timer block
 (:216-221), and writes final_state.dat + av_vels.dat in the cwd.
 
 Extensions beyond the reference (all optional flags):
-  --backend   fused (default) | pallas | pipeline | sharded
+  --backend   auto (default) | fused | pallas | resident | pipeline | sharded
   --debug     per-step av-velocity + total-density prints (the reference's
               #ifdef DEBUG build, d2q9-bgk.c:196-200)
   --profile   capture a jax.profiler trace of the compute phase
@@ -34,8 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("obstaclefile")
     p.add_argument(
         "--backend",
-        default="fused",
-        choices=["fused", "pallas", "pipeline", "sharded"],
+        default="auto",
+        choices=["auto", "fused", "pallas", "resident", "pipeline", "sharded"],
+        help="auto picks resident (small grids, TPU) > pallas (TPU) > fused",
     )
     p.add_argument("--debug", action="store_true")
     p.add_argument("--profile", metavar="TRACE_DIR", default=None)
@@ -47,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from advanced_hpc_lbm_tpu.utils import cache
+
+    cache.enable()
     timers = PhaseTimers()
 
     with timers.phase("init"):

@@ -22,7 +22,7 @@ from advanced_hpc_lbm_tpu.ops import fused, reference
 from advanced_hpc_lbm_tpu.params import LBMParams
 from advanced_hpc_lbm_tpu.utils import io as lbm_io
 
-Backend = Literal["fused", "pallas", "sharded", "pipeline"]
+Backend = Literal["auto", "fused", "pallas", "resident", "sharded", "pipeline"]
 
 
 @dataclasses.dataclass
@@ -105,6 +105,21 @@ class Simulation:
         return cls(params, obstacles, **kwargs)
 
     def _resolve_backend(self, backend: Backend):
+        if backend == "auto":
+            # fastest applicable path: VMEM-resident whole-run kernel for
+            # small grids, per-step Pallas kernel for large TPU grids,
+            # XLA-fused jnp otherwise
+            from advanced_hpc_lbm_tpu.ops import pallas_step, resident
+
+            ny, nx = self.params.ny, self.params.nx
+            if resident.supported(ny, nx):
+                self.backend = backend = "resident"
+            elif pallas_step.supported(ny, nx):
+                self.backend = backend = "pallas"
+            else:
+                self.backend = backend = "fused"
+        if backend == "resident":
+            return None  # whole-run path, resolved in run()
         if backend == "fused":
             return fused.fused_step
         if backend == "pipeline":
@@ -148,7 +163,20 @@ class Simulation:
                 f0, obstacles, self.params, n_iters=iters, n_devices=devices
             )
             densities = None
+        elif self.backend == "resident" and not debug:
+            from advanced_hpc_lbm_tpu.ops import resident
+
+            runner = jax.jit(
+                lambda f, o: resident.resident_run(
+                    f, o, self.params, n_iters=iters
+                ),
+                donate_argnums=0,
+            )
+            f_final, av_vels = runner(f0, obstacles)
+            densities = None
         else:
+            if self.backend == "resident":  # debug mode needs per-step host data
+                self._step_fn = fused.fused_step
             runner = jax.jit(
                 lambda f, o: fused.run_simulation(
                     f,

@@ -42,14 +42,26 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--size", default="1024x1024")
-    ap.add_argument("--backend", default="best", choices=["best", "fused", "pallas"])
-    ap.add_argument("--warmup", type=int, default=50)
+    ap.add_argument(
+        "--backend",
+        default="best",
+        choices=["best", "fused", "pallas", "resident"],
+    )
+    ap.add_argument(
+        "--warmup",
+        type=int,
+        default=None,
+        help="deprecated; warmup always runs the timed program once",
+    )
     args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
     from advanced_hpc_lbm_tpu.ops import fused, reference
+    from advanced_hpc_lbm_tpu.utils import cache
+
+    cache.enable()
 
     nx, ny = (int(v) for v in args.size.split("x"))
     params, mask = build_deck(nx, ny, args.iters)
@@ -57,34 +69,55 @@ def main(argv=None) -> int:
 
     backend = args.backend
     if backend == "best":
-        # prefer the Pallas kernel on TPU; fall back to the XLA-fused path
         try:
-            from advanced_hpc_lbm_tpu.ops import pallas_step  # noqa: F401
+            from advanced_hpc_lbm_tpu.ops import pallas_step, resident
 
-            backend = "pallas" if pallas_step.supported() else "fused"
+            if resident.supported(ny, nx):
+                backend = "resident"
+            elif pallas_step.supported(ny, nx):
+                backend = "pallas"
+            else:
+                backend = "fused"
         except Exception:
             backend = "fused"
 
-    if backend == "pallas":
-        from advanced_hpc_lbm_tpu.ops import pallas_step
+    if backend == "resident":
+        from advanced_hpc_lbm_tpu.ops import resident
 
-        step_fn = pallas_step.pallas_fused_step
+        def run(n):
+            runner = jax.jit(
+                lambda f, o: resident.resident_run(f, o, params, n_iters=n),
+                donate_argnums=0,
+            )
+            f0 = reference.initial_state(params)
+            f_final, av = runner(f0, obstacles)
+            jax.block_until_ready((f_final, av))
+            return av
+
     else:
-        step_fn = fused.fused_step
+        if backend == "pallas":
+            from advanced_hpc_lbm_tpu.ops import pallas_step
 
-    def run(n):
-        runner = jax.jit(
-            lambda f, o: fused.run_simulation(
-                f, o, params, n_iters=n, step_fn=step_fn
-            ),
-            donate_argnums=0,
-        )
-        f0 = reference.initial_state(params)
-        f_final, av = runner(f0, obstacles)
-        jax.block_until_ready((f_final, av))
-        return av
+            step_fn = pallas_step.pallas_fused_step
+        else:
+            step_fn = fused.fused_step
 
-    run(args.warmup)  # compile + warm
+        def run(n):
+            runner = jax.jit(
+                lambda f, o: fused.run_simulation(
+                    f, o, params, n_iters=n, step_fn=step_fn
+                ),
+                donate_argnums=0,
+            )
+            f0 = reference.initial_state(params)
+            f_final, av = runner(f0, obstacles)
+            jax.block_until_ready((f_final, av))
+            return av
+
+    # warm with the EXACT program that will be timed (a different iteration
+    # count is a different scan length = a different executable; warming
+    # with it would leave compilation inside the timed region)
+    run(args.iters)
     tic = time.perf_counter()
     av = run(args.iters)
     elapsed = time.perf_counter() - tic
