@@ -35,7 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--backend",
         default="auto",
-        choices=["auto", "fused", "pallas", "resident", "pipeline", "sharded"],
+        choices=[
+            "auto", "fused", "pallas", "pallas2", "resident", "pipeline", "sharded",
+        ],
         help="auto picks resident (small grids, TPU) > pallas (TPU) > fused",
     )
     p.add_argument("--debug", action="store_true")
@@ -43,6 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default=".")
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument(
+        "--checkpoint-every", type=int, default=None, metavar="N",
+        help="snapshot the distribution array every N steps",
+    )
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume from the latest snapshot in --checkpoint-dir",
+    )
     return p
 
 
@@ -71,7 +82,14 @@ def main(argv: list[str] | None = None) -> int:
         profiler_cm.__enter__()
 
     with timers.phase("compute"):
-        result = sim.run(n_iters=args.iters, debug=args.debug, devices=args.devices)
+        result = sim.run(
+            n_iters=args.iters,
+            debug=args.debug,
+            devices=args.devices,
+            checkpoint_every=args.checkpoint_every,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
 
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)

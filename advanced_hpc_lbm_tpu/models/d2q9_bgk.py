@@ -22,7 +22,9 @@ from advanced_hpc_lbm_tpu.ops import fused, reference
 from advanced_hpc_lbm_tpu.params import LBMParams
 from advanced_hpc_lbm_tpu.utils import io as lbm_io
 
-Backend = Literal["auto", "fused", "pallas", "resident", "sharded", "pipeline"]
+Backend = Literal[
+    "auto", "fused", "pallas", "pallas2", "resident", "sharded", "pipeline"
+]
 
 
 @dataclasses.dataclass
@@ -107,19 +109,21 @@ class Simulation:
     def _resolve_backend(self, backend: Backend):
         if backend == "auto":
             # fastest applicable path: VMEM-resident whole-run kernel for
-            # small grids, per-step Pallas kernel for large TPU grids,
-            # XLA-fused jnp otherwise
-            from advanced_hpc_lbm_tpu.ops import pallas_step, resident
+            # small grids, 2-step Pallas kernel for large TPU grids,
+            # per-step Pallas next, XLA-fused jnp otherwise
+            from advanced_hpc_lbm_tpu.ops import pallas_multi, pallas_step, resident
 
             ny, nx = self.params.ny, self.params.nx
             if resident.supported(ny, nx):
                 self.backend = backend = "resident"
+            elif pallas_multi.supported(ny, nx):
+                self.backend = backend = "pallas2"
             elif pallas_step.supported(ny, nx):
                 self.backend = backend = "pallas"
             else:
                 self.backend = backend = "fused"
-        if backend == "resident":
-            return None  # whole-run path, resolved in run()
+        if backend in ("resident", "pallas2"):
+            return None  # whole-run paths, resolved in run()
         if backend == "fused":
             return fused.fused_step
         if backend == "pipeline":
@@ -145,14 +149,23 @@ class Simulation:
         n_iters: int | None = None,
         debug: bool = False,
         devices: int | None = None,
+        checkpoint_every: int | None = None,
+        checkpoint_dir: str | os.PathLike = "checkpoints",
+        resume: bool = False,
     ) -> SimulationResult:
         """Execute the main loop fully on-device and fetch results.
 
         ``debug`` also collects per-step total densities (the reference's
         #ifdef DEBUG stream, d2q9-bgk.c:196-200).  ``devices`` > 1 selects
         the sharded path over a 1-D y mesh (parallel/halo.py).
+        ``checkpoint_every`` snapshots the distribution array every N steps
+        (utils/checkpoint.py); ``resume`` restarts from the latest snapshot.
         """
         iters = self.params.max_iters if n_iters is None else n_iters
+        if checkpoint_every or resume:
+            return self._run_checkpointed(
+                iters, checkpoint_every or iters, checkpoint_dir, resume
+            )
         obstacles = jnp.asarray(self.obstacles)
         f0 = self.initial_state()
 
@@ -174,8 +187,18 @@ class Simulation:
             )
             f_final, av_vels = runner(f0, obstacles)
             densities = None
+        elif self.backend == "pallas2" and not debug:
+            from advanced_hpc_lbm_tpu.ops import pallas_multi
+
+            runner = jax.jit(
+                lambda f, o: pallas_multi.run(f, o, self.params, n_iters=iters),
+                donate_argnums=0,
+            )
+            f_final, av_vels = runner(f0, obstacles)
+            densities = None
         else:
-            if self.backend == "resident":  # debug mode needs per-step host data
+            if self.backend in ("resident", "pallas2"):
+                # debug mode needs per-step host data
                 self._step_fn = fused.fused_step
             runner = jax.jit(
                 lambda f, o: fused.run_simulation(
@@ -201,6 +224,68 @@ class Simulation:
             f_final=np.asarray(jax.device_get(f_final)),
             av_vels=np.asarray(jax.device_get(av_vels)),
             densities=None if densities is None else np.asarray(densities),
+        )
+        result._obstacles_cache = self.obstacles
+        return result
+
+    def _run_checkpointed(
+        self,
+        iters: int,
+        every: int,
+        checkpoint_dir: str | os.PathLike,
+        resume: bool,
+    ) -> SimulationResult:
+        """Host-level segment loop with snapshots at segment boundaries.
+
+        Segments of ``every`` steps run fully on-device (a fixed segment
+        length compiles once); the distribution array + av history are
+        snapshotted between segments (utils/checkpoint.py).
+        """
+        from advanced_hpc_lbm_tpu.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_dir)
+        obstacles = jnp.asarray(self.obstacles)
+        start = 0
+        av_parts: list[np.ndarray] = []
+        f = self.initial_state()
+        if resume:
+            latest = mgr.latest()
+            if latest is not None:
+                start, f_np, av_prev = latest
+                f = jnp.asarray(f_np)
+                if start > iters:
+                    raise ValueError(
+                        f"checkpoint at step {start} is beyond requested {iters}"
+                    )
+                av_parts.append(np.asarray(av_prev)[:start])
+
+        step_fn = self._step_fn or fused.fused_step
+        runner = None
+        seg_len_compiled = None
+        done = start
+        while done < iters:
+            seg = min(every, iters - done)
+            if runner is None or seg != seg_len_compiled:
+                runner = jax.jit(
+                    lambda ff, oo, _n=seg: fused.run_simulation(
+                        ff, oo, self.params, n_iters=_n, step_fn=step_fn
+                    ),
+                    donate_argnums=0,
+                )
+                seg_len_compiled = seg
+            f, av_seg = runner(f, obstacles)
+            av_parts.append(np.asarray(jax.device_get(av_seg)))
+            done += seg
+            mgr.save(done, np.asarray(jax.device_get(f)), np.concatenate(av_parts))
+
+        result = SimulationResult(
+            params=self.params,
+            f_final=np.asarray(jax.device_get(f)),
+            av_vels=(
+                np.concatenate(av_parts)
+                if av_parts
+                else np.zeros((0,), np.float32)
+            ),
         )
         result._obstacles_cache = self.obstacles
         return result

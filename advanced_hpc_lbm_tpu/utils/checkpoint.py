@@ -1,0 +1,69 @@
+"""Checkpoint / resume for long runs.
+
+The reference has none (SURVEY.md section 5): its runs restart from the
+deterministic initial condition, and final_state.dat is lossy (moments, not
+distributions).  Here we snapshot the full distribution array plus the
+av-velocity history, so a 1024^2+ run can resume exactly.
+
+Format: one ``step_XXXXXXXX.npz`` per snapshot (fp32 ``f`` (9,ny,nx),
+``av_vels`` prefix, ``step``), atomically renamed into place; oldest
+snapshots pruned beyond ``keep``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+import numpy as np
+
+_PAT = re.compile(r"step_(\d{8})\.npz$")
+
+
+class CheckpointManager:
+    def __init__(self, directory: str | os.PathLike, keep: int = 3) -> None:
+        self.directory = str(directory)
+        self.keep = keep
+        os.makedirs(self.directory, exist_ok=True)
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step:08d}.npz")
+
+    def save(self, step: int, f: np.ndarray, av_vels: np.ndarray) -> str:
+        """Atomic snapshot after ``step`` completed steps."""
+        fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                np.savez(
+                    fh,
+                    step=np.int64(step),
+                    f=np.asarray(f, np.float32),
+                    av_vels=np.asarray(av_vels, np.float32),
+                )
+            os.replace(tmp, self._path(step))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        self._prune()
+        return self._path(step)
+
+    def steps(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.directory):
+            m = _PAT.search(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest(self) -> tuple[int, np.ndarray, np.ndarray] | None:
+        steps = self.steps()
+        if not steps:
+            return None
+        with np.load(self._path(steps[-1])) as z:
+            return int(z["step"]), z["f"], z["av_vels"]
+
+    def _prune(self) -> None:
+        steps = self.steps()
+        for s in steps[: max(0, len(steps) - self.keep)]:
+            os.unlink(self._path(s))

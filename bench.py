@@ -45,8 +45,9 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--backend",
         default="best",
-        choices=["best", "fused", "pallas", "resident"],
+        choices=["best", "fused", "pallas", "pallas2", "resident"],
     )
+    ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
         "--warmup",
         type=int,
@@ -72,8 +73,12 @@ def main(argv=None) -> int:
         try:
             from advanced_hpc_lbm_tpu.ops import pallas_step, resident
 
+            from advanced_hpc_lbm_tpu.ops import pallas_multi
+
             if resident.supported(ny, nx):
                 backend = "resident"
+            elif pallas_multi.supported(ny, nx) and args.iters >= 2:
+                backend = "pallas2"
             elif pallas_step.supported(ny, nx):
                 backend = "pallas"
             else:
@@ -84,16 +89,18 @@ def main(argv=None) -> int:
     if backend == "resident":
         from advanced_hpc_lbm_tpu.ops import resident
 
-        def run(n):
-            runner = jax.jit(
-                lambda f, o: resident.resident_run(f, o, params, n_iters=n),
-                donate_argnums=0,
+        runner = jax.jit(
+            lambda f, o, n=args.iters: resident.resident_run(
+                f, o, params, n_iters=n
             )
-            f0 = reference.initial_state(params)
-            f_final, av = runner(f0, obstacles)
-            jax.block_until_ready((f_final, av))
-            return av
+        )
 
+    elif backend == "pallas2":
+        from advanced_hpc_lbm_tpu.ops import pallas_multi
+
+        runner = jax.jit(
+            lambda f, o, n=args.iters: pallas_multi.run(f, o, params, n_iters=n)
+        )
     else:
         if backend == "pallas":
             from advanced_hpc_lbm_tpu.ops import pallas_step
@@ -102,27 +109,36 @@ def main(argv=None) -> int:
         else:
             step_fn = fused.fused_step
 
-        def run(n):
-            runner = jax.jit(
-                lambda f, o: fused.run_simulation(
-                    f, o, params, n_iters=n, step_fn=step_fn
-                ),
-                donate_argnums=0,
+        runner = jax.jit(
+            lambda f, o, n=args.iters: fused.run_simulation(
+                f, o, params, n_iters=n, step_fn=step_fn
             )
-            f0 = reference.initial_state(params)
-            f_final, av = runner(f0, obstacles)
-            jax.block_until_ready((f_final, av))
-            return av
+        )
+
+    def run():
+        """One full timed run: fresh initial state, execute, and
+        materialize the av history to host — exactly what a real
+        simulation does (the reference keeps av_vels on the host,
+        d2q9-bgk.c:182).  Host materialization also defeats any
+        async-dispatch underreporting."""
+        f0 = reference.initial_state(params)
+        f_final, av = runner(f0, obstacles)
+        av_host = np.asarray(av)
+        f_final.block_until_ready()
+        return av_host
 
     # warm with the EXACT program that will be timed (a different iteration
-    # count is a different scan length = a different executable; warming
-    # with it would leave compilation inside the timed region)
-    run(args.iters)
-    tic = time.perf_counter()
-    av = run(args.iters)
-    elapsed = time.perf_counter() - tic
+    # count is a different scan length = a different executable)
+    run()
+    times = []
+    for _ in range(args.repeats):
+        tic = time.perf_counter()
+        av_host = run()
+        times.append(time.perf_counter() - tic)
+    elapsed = sorted(times)[len(times) // 2]  # median
 
-    assert bool(jnp.all(jnp.isfinite(av))), "NaN in av_vels during bench"
+    assert np.all(np.isfinite(av_host)), "NaN in av_vels during bench"
+    assert av_host.shape[0] == args.iters
     glups = nx * ny * args.iters / elapsed / 1e9
     print(
         json.dumps(

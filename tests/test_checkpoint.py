@@ -1,0 +1,70 @@
+"""Checkpoint/resume: snapshots are exact and resume reproduces the
+uninterrupted trajectory bit-for-bit (same compiled segments)."""
+
+import numpy as np
+import pytest
+
+from advanced_hpc_lbm_tpu.models.d2q9_bgk import Simulation
+from advanced_hpc_lbm_tpu.params import LBMParams
+from advanced_hpc_lbm_tpu.utils.checkpoint import CheckpointManager
+
+
+@pytest.fixture()
+def sim():
+    params = LBMParams(
+        nx=32, ny=16, max_iters=12, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    mask = np.zeros((16, 32), dtype=bool)
+    mask[0] = mask[-1] = True
+    return Simulation(params, mask, backend="fused")
+
+
+class TestManager:
+    def test_save_load_roundtrip(self, tmp_path):
+        mgr = CheckpointManager(tmp_path, keep=2)
+        f = np.random.RandomState(0).rand(9, 4, 8).astype(np.float32)
+        av = np.float32([1e-5, 2e-5])
+        mgr.save(2, f, av)
+        step, f2, av2 = mgr.latest()
+        assert step == 2
+        np.testing.assert_array_equal(f2, f)
+        np.testing.assert_array_equal(av2, av)
+
+    def test_prune_keeps_newest(self, tmp_path):
+        mgr = CheckpointManager(tmp_path, keep=2)
+        f = np.zeros((9, 2, 2), np.float32)
+        for s in (1, 2, 3, 4):
+            mgr.save(s, f, np.zeros(s, np.float32))
+        assert mgr.steps() == [3, 4]
+
+    def test_empty_dir(self, tmp_path):
+        assert CheckpointManager(tmp_path).latest() is None
+
+
+class TestResume:
+    def test_checkpointed_equals_straight(self, sim, tmp_path):
+        straight = sim.run()
+        ck = sim.run(checkpoint_every=5, checkpoint_dir=tmp_path / "ck")
+        np.testing.assert_array_equal(ck.f_final, straight.f_final)
+        np.testing.assert_array_equal(ck.av_vels, straight.av_vels)
+
+    def test_resume_continues_exactly(self, sim, tmp_path):
+        ckdir = tmp_path / "ck"
+        # run only 8 of 12 steps, checkpointing every 4
+        sim.run(n_iters=8, checkpoint_every=4, checkpoint_dir=ckdir)
+        mgr = CheckpointManager(ckdir)
+        assert mgr.steps()[-1] == 8
+        # resume to 12
+        resumed = sim.run(
+            n_iters=12, checkpoint_every=4, checkpoint_dir=ckdir, resume=True
+        )
+        straight = sim.run(n_iters=12)
+        np.testing.assert_array_equal(resumed.f_final, straight.f_final)
+        np.testing.assert_array_equal(resumed.av_vels, straight.av_vels)
+
+    def test_resume_beyond_target_raises(self, sim, tmp_path):
+        ckdir = tmp_path / "ck"
+        sim.run(n_iters=8, checkpoint_every=4, checkpoint_dir=ckdir)
+        with pytest.raises(ValueError, match="beyond"):
+            sim.run(n_iters=4, checkpoint_every=4, checkpoint_dir=ckdir, resume=True)
