@@ -12,7 +12,7 @@ OBSTACLES = $(REF)/obstacles_$(DECK).dat
 REF_AV_VELS_FILE = $(REF)/check/$(DECK).av_vels.dat
 REF_FINAL_STATE_FILE = $(REF)/check/$(DECK).final_state.dat
 
-.PHONY: all native test run check clean
+.PHONY: all native test run check bench validate clean
 
 all: native
 	$(PY) -m pip install -e . --no-deps --no-build-isolation -q
@@ -36,6 +36,10 @@ check:
 
 bench:
 	$(PY) bench.py
+
+# all four decks end-to-end against the goldens (needs the TPU for speed)
+validate:
+	$(PY) scripts/validate_all.py --ref $(REF)
 
 clean:
 	rm -f final_state.dat av_vels.dat final_state.png final_state.pgm

@@ -111,13 +111,14 @@ class Simulation:
             # fastest applicable path: VMEM-resident whole-run kernel for
             # small grids, 2-step Pallas kernel for large TPU grids,
             # per-step Pallas next, XLA-fused jnp otherwise
-            from advanced_hpc_lbm_tpu.ops import pallas_multi, pallas_step, resident
+            # measured: the step is VPU-bound at large grids, so the 1-step
+            # kernel matches the 2-step one and is simpler — prefer it;
+            # pallas2 remains selectable explicitly (DESIGN.md)
+            from advanced_hpc_lbm_tpu.ops import pallas_step, resident
 
             ny, nx = self.params.ny, self.params.nx
             if resident.supported(ny, nx):
                 self.backend = backend = "resident"
-            elif pallas_multi.supported(ny, nx):
-                self.backend = backend = "pallas2"
             elif pallas_step.supported(ny, nx):
                 self.backend = backend = "pallas"
             else:

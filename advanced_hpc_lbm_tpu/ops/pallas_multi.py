@@ -23,6 +23,13 @@ Net traffic: ~((ty+8)/ty * 36 + 40) / 2 = ~41 B/cell/step at ty=32 —
 a ~52 us/step floor at 1024^2 on v5e vs ~105 us for the 1-step kernel.
 Obstacle masks ride as fp32 here (halo mask blocks of 8 rows are below
 the int8 min sublane tile).
+
+MEASURED OUTCOME (v5e, interleaved runs): the step is VPU-compute-bound,
+so halving traffic does not pay — this kernel ties or slightly trails the
+1-step kernel (extra seam compute + unaligned window shapes).  It is kept
+as an explicit backend (`pallas2`) because the trade flips on parts with
+higher HBM:VPU ratios and for future compute-side optimization; `auto`
+prefers the 1-step kernel (DESIGN.md).
 """
 
 from __future__ import annotations
@@ -34,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from advanced_hpc_lbm_tpu.ops import lattice, pallas_step
+from advanced_hpc_lbm_tpu.ops import kernel_common, lattice, pallas_step
 from advanced_hpc_lbm_tpu.params import LBMParams
 
 _LANE = 128
@@ -82,65 +89,9 @@ def _stream_window(planes, rows_out: int):
     return out
 
 
-def _collide(streamed, obst, omega):
-    """Pairwise BGK + bounce-back select; returns (out_planes, u_sq)."""
-    rho = streamed[0]
-    for k in range(1, lattice.NSPEEDS):
-        rho = rho + streamed[k]
-    inv_rho = 1.0 / rho
-    u_x = (
-        streamed[1] + streamed[5] + streamed[8]
-        - streamed[3] - streamed[6] - streamed[7]
-    ) * inv_rho
-    u_y = (
-        streamed[2] + streamed[5] + streamed[6]
-        - streamed[4] - streamed[7] - streamed[8]
-    ) * inv_rho
-    u_sq = u_x * u_x + u_y * u_y
-    base = 1.0 - u_sq * jnp.float32(1.5)
-
-    def relax_pair(k, cu):
-        ko = int(lattice.OPP[k])
-        t = jnp.float32(lattice.W[k]) * rho
-        even = base + (cu * cu) * jnp.float32(4.5)
-        odd = cu * jnp.float32(3.0)
-        return (
-            streamed[k] + omega * (t * (even + odd) - streamed[k]),
-            streamed[ko] + omega * (t * (even - odd) - streamed[ko]),
-        )
-
-    relaxed = [None] * lattice.NSPEEDS
-    relaxed[0] = streamed[0] + omega * (
-        jnp.float32(lattice.W[0]) * rho * base - streamed[0]
-    )
-    relaxed[1], relaxed[3] = relax_pair(1, u_x)
-    relaxed[2], relaxed[4] = relax_pair(2, u_y)
-    relaxed[5], relaxed[7] = relax_pair(5, u_x + u_y)
-    relaxed[8], relaxed[6] = relax_pair(8, u_x - u_y)
-
-    out = [
-        jnp.where(obst, streamed[int(lattice.OPP[k])], relaxed[k])
-        for k in range(lattice.NSPEEDS)
-    ]
-    return out, u_sq
-
-
-def _forced(planes, obst, row_is_accel, params):
-    """Masked forcing over a window: row_is_accel is the (rows, nx) bool
-    marking global row ny-2 (d2q9-bgk.c:239-260)."""
-    w1, w2 = params.accel_w1, params.accel_w2
-    ok = (
-        row_is_accel
-        & jnp.logical_not(obst)
-        & (planes[3] - w1 > 0.0)
-        & (planes[6] - w2 > 0.0)
-        & (planes[7] - w2 > 0.0)
-    )
-    zero = jnp.float32(0.0)
-    out = list(planes)
-    for k, dv in ((1, w1), (5, w2), (8, w2), (3, -w1), (6, -w2), (7, -w2)):
-        out[k] = planes[k] + jnp.where(ok, jnp.float32(dv), zero)
-    return out
+# collision and forcing are the shared routines in ops.kernel_common
+_collide = kernel_common.collide
+_forced = kernel_common.forced
 
 
 def _kernel2(
@@ -187,7 +138,7 @@ def _kernel2(
     # ---- step 1: output rows [a-1, b+1) ----
     s1 = _stream_window(w0, ty + 2)
     o1 = jax.lax.slice_in_dim(w0_obst, 1, ty + 3, axis=0)
-    f1, u_sq1 = _collide(s1, o1, params.omega_f32)
+    f1, u_sq1 = _collide(s1, o1, params)
     # av for step 1 over the tile's own rows [a, b)
     norm1 = jnp.sqrt(jax.lax.slice_in_dim(u_sq1, 1, ty + 1, axis=0))
     tot_ref[i, 0] = jnp.sum(jnp.where(obst_main, zero, norm1))
@@ -200,7 +151,7 @@ def _kernel2(
 
     # ---- step 2: output rows [a, b) ----
     s2 = _stream_window(f1, ty)
-    f2, u_sq2 = _collide(s2, obst_main, params.omega_f32)
+    f2, u_sq2 = _collide(s2, obst_main, params)
     tot_ref[i, 1] = jnp.sum(jnp.where(obst_main, zero, jnp.sqrt(u_sq2)))
 
     for k in range(lattice.NSPEEDS):

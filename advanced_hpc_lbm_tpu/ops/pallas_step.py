@@ -49,7 +49,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from advanced_hpc_lbm_tpu.ops import lattice
+from advanced_hpc_lbm_tpu.ops import kernel_common, lattice
 from advanced_hpc_lbm_tpu.params import LBMParams
 
 # obstacle mask dtype fed to the kernel; int8 keeps the extra HBM stream at
@@ -97,7 +97,6 @@ def _step_kernel(
     i = pl.program_id(0)
     w1 = params.accel_w1
     w2 = params.accel_w2
-    omega = params.omega_f32
     zero = jnp.float32(0.0)
 
     # tile 0 has no predecessor to park its top halo: take the periodic
@@ -157,46 +156,11 @@ def _step_kernel(
     for k in range(lattice.NSPEEDS):
         top_scr[k] = f_ref[k, ty - 1 : ty, :]
 
-    # ---- moments of the streamed state (d2q9-bgk.c:988-1016) ----
-    rho = streamed[0]
-    for k in range(1, lattice.NSPEEDS):
-        rho = rho + streamed[k]
-    inv_rho = 1.0 / rho
-    u_x = (
-        streamed[1] + streamed[5] + streamed[8]
-        - streamed[3] - streamed[6] - streamed[7]
-    ) * inv_rho
-    u_y = (
-        streamed[2] + streamed[5] + streamed[6]
-        - streamed[4] - streamed[7] - streamed[8]
-    ) * inv_rho
-    u_sq = u_x * u_x + u_y * u_y
-
-    # ---- BGK relax + bounce-back select (d2q9-bgk.c:1033-1100, :971-981) --
-    # Pairwise equilibria: opposite speeds share their even part.
-    base = 1.0 - u_sq * jnp.float32(1.5)
-
-    def relax_pair(k, cu):
-        ko = int(lattice.OPP[k])
-        t = jnp.float32(lattice.W[k]) * rho
-        even = base + (cu * cu) * jnp.float32(4.5)
-        odd = cu * jnp.float32(3.0)
-        return (
-            streamed[k] + omega * (t * (even + odd) - streamed[k]),
-            streamed[ko] + omega * (t * (even - odd) - streamed[ko]),
-        )
-
-    relaxed = [None] * lattice.NSPEEDS
-    relaxed[0] = streamed[0] + omega * (
-        jnp.float32(lattice.W[0]) * rho * base - streamed[0]
-    )
-    relaxed[1], relaxed[3] = relax_pair(1, u_x)
-    relaxed[2], relaxed[4] = relax_pair(2, u_y)
-    relaxed[5], relaxed[7] = relax_pair(5, u_x + u_y)
-    relaxed[8], relaxed[6] = relax_pair(8, u_x - u_y)
-
+    # ---- BGK relax + bounce-back (shared routine; d2q9-bgk.c:1033-1100,
+    # :971-981) ----
+    out_planes, u_sq = kernel_common.collide(streamed, obst, params)
     for k in range(lattice.NSPEEDS):
-        out_ref[k] = jnp.where(obst, streamed[int(lattice.OPP[k])], relaxed[k])
+        out_ref[k] = out_planes[k]
 
     # ---- reduction (d2q9-bgk.c:1103-1130) ----
     # BGK conserves rho and momentum exactly, so the post-collision moments

@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from advanced_hpc_lbm_tpu.ops import lattice
+from advanced_hpc_lbm_tpu.ops import kernel_common, lattice
 from advanced_hpc_lbm_tpu.params import LBMParams
 
 MASK_DTYPE = jnp.int8
@@ -58,72 +58,30 @@ def _one_step(
 ):
     """One fused timestep reading planes from ref ``src`` and writing ref
     ``dst``; appends the step's tot_u to avs_ref[t, 0]."""
-    w1 = params.accel_w1
-    w2 = params.accel_w2
-    omega = params.omega_f32
     zero = jnp.float32(0.0)
 
-    # ---- forcing on row ny-2 (d2q9-bgk.c:239-260), in place in src ----
+    # ---- forcing on row ny-2 (d2q9-bgk.c:239-260) ----
     # full-grid masked update (row-sliced writes at an unaligned sublane
     # offset are fragile in Mosaic); accel_rows is the precomputed row mask
-    ok = (
-        accel_rows
-        & jnp.logical_not(obst)
-        & (src[3] - w1 > 0.0)
-        & (src[6] - w2 > 0.0)
-        & (src[7] - w2 > 0.0)
+    planes = kernel_common.forced(
+        [src[k] for k in range(lattice.NSPEEDS)], obst, accel_rows, params
     )
-    for k, dv in ((1, w1), (5, w2), (8, w2), (3, -w1), (6, -w2), (7, -w2)):
-        src[k] = src[k] + jnp.where(ok, jnp.float32(dv), zero)
 
     # ---- pull streaming: whole-plane periodic rotates ----
     streamed = []
     for k in range(lattice.NSPEEDS):
         cy, cx = int(lattice.CY[k]), int(lattice.CX[k])
-        plane = src[k]
+        plane = planes[k]
         if cy:
             plane = pltpu.roll(plane, cy % ny, axis=0)
         if cx:
             plane = pltpu.roll(plane, cx % nx, axis=1)
         streamed.append(plane)
 
-    # ---- moments, pairwise BGK, bounce-back (see ops.pallas_step) ----
-    rho = streamed[0]
-    for k in range(1, lattice.NSPEEDS):
-        rho = rho + streamed[k]
-    inv_rho = 1.0 / rho
-    u_x = (
-        streamed[1] + streamed[5] + streamed[8]
-        - streamed[3] - streamed[6] - streamed[7]
-    ) * inv_rho
-    u_y = (
-        streamed[2] + streamed[5] + streamed[6]
-        - streamed[4] - streamed[7] - streamed[8]
-    ) * inv_rho
-    u_sq = u_x * u_x + u_y * u_y
-    base = 1.0 - u_sq * jnp.float32(1.5)
-
-    def relax_pair(k, cu):
-        ko = int(lattice.OPP[k])
-        t_ = jnp.float32(lattice.W[k]) * rho
-        even = base + (cu * cu) * jnp.float32(4.5)
-        odd = cu * jnp.float32(3.0)
-        return (
-            streamed[k] + omega * (t_ * (even + odd) - streamed[k]),
-            streamed[ko] + omega * (t_ * (even - odd) - streamed[ko]),
-        )
-
-    relaxed = [None] * lattice.NSPEEDS
-    relaxed[0] = streamed[0] + omega * (
-        jnp.float32(lattice.W[0]) * rho * base - streamed[0]
-    )
-    relaxed[1], relaxed[3] = relax_pair(1, u_x)
-    relaxed[2], relaxed[4] = relax_pair(2, u_y)
-    relaxed[5], relaxed[7] = relax_pair(5, u_x + u_y)
-    relaxed[8], relaxed[6] = relax_pair(8, u_x - u_y)
-
+    # ---- shared pairwise BGK + bounce-back ----
+    out_planes, u_sq = kernel_common.collide(streamed, obst, params)
     for k in range(lattice.NSPEEDS):
-        dst[k] = jnp.where(obst, streamed[int(lattice.OPP[k])], relaxed[k])
+        dst[k] = out_planes[k]
 
     avs_ref[t, 0] = jnp.sum(jnp.where(obst, zero, jnp.sqrt(u_sq)))
 

@@ -69,7 +69,16 @@ def load_params(path: str | os.PathLike) -> LBMParams:
 def load_obstacles(path: str | os.PathLike, params: LBMParams) -> np.ndarray:
     """Parse an obstacle deck of ``x y 1`` triples into a (ny, nx) bool mask
     (d2q9-bgk.c:2825-2857), with the reference's validation: 3 fields per
-    line, coords in range, blocked == 1."""
+    line, coords in range, blocked == 1.  Uses the C codec when built."""
+    from advanced_hpc_lbm_tpu.utils import native
+
+    if native.available():
+        try:
+            fast = native.parse_obstacles(path, params.nx, params.ny)
+        except ValueError as e:
+            raise DeckError(str(e)) from e
+        if fast is not None:
+            return fast
     mask = np.zeros((params.ny, params.nx), dtype=bool)
     with open(path) as fh:
         for lineno, raw in enumerate(fh, 1):

@@ -51,6 +51,14 @@ def _try_load() -> ctypes.CDLL | None:
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             ctypes.c_long,
         ]
+        lib.fastio_parse_obstacles.restype = ctypes.c_long
+        lib.fastio_parse_obstacles.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.c_long,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.POINTER(ctypes.c_long),
+        ]
         _lib = lib
     except OSError:
         _load_failed = True
@@ -112,6 +120,36 @@ def write_av_vels(path: str | os.PathLike, av: np.ndarray) -> None:
     rc = lib.fastio_write_av_vels(str(path).encode(), av, av.size)
     if rc != 0:
         raise OSError(f"fastio_write_av_vels failed with rc={rc} ({path})")
+
+
+_PARSE_ERRORS = {
+    -2: "expected 3 values per line in obstacle file",
+    -3: "obstacle x-coord out of range",
+    -4: "obstacle y-coord out of range",
+    -5: "obstacle blocked value should be 1",
+}
+
+
+def parse_obstacles(
+    path: str | os.PathLike, nx: int, ny: int
+) -> np.ndarray | None:
+    """C fast path for the obstacle deck parser.  Returns a (ny, nx) bool
+    mask, None if the library is unavailable, or raises ValueError with
+    the reference's die() message on malformed decks."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    mask = np.zeros(ny * nx, dtype=np.uint8)
+    err_line = ctypes.c_long(0)
+    rc = lib.fastio_parse_obstacles(
+        str(path).encode(), nx, ny, mask, ctypes.byref(err_line)
+    )
+    if rc == -1:
+        raise OSError(f"could not open input obstacles file: {path}")
+    if rc < 0:
+        msg = _PARSE_ERRORS.get(int(rc), "malformed obstacle file")
+        raise ValueError(f"{msg} ({path}:{err_line.value})")
+    return mask.reshape(ny, nx).astype(bool)
 
 
 if __name__ == "__main__":

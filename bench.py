@@ -73,12 +73,8 @@ def main(argv=None) -> int:
         try:
             from advanced_hpc_lbm_tpu.ops import pallas_step, resident
 
-            from advanced_hpc_lbm_tpu.ops import pallas_multi
-
             if resident.supported(ny, nx):
                 backend = "resident"
-            elif pallas_multi.supported(ny, nx) and args.iters >= 2:
-                backend = "pallas2"
             elif pallas_step.supported(ny, nx):
                 backend = "pallas"
             else:

@@ -31,6 +31,40 @@ int fastio_write_final_state(const char *path, const int64_t *coords,
   return fclose(fp) ? 3 : 0;
 }
 
+/* Parse an obstacle deck of "x y 1" lines into a row-major (ny, nx) byte
+ * mask (semantics of d2q9-bgk.c:2843-2857 incl. its validations).
+ * Returns the number of parsed lines, or a negative error code:
+ *   -1 open failed, -2 malformed line, -3 x out of range, -4 y out of
+ *   range, -5 blocked != 1.  Error line number is written to *err_line. */
+long fastio_parse_obstacles(const char *path, long nx, long ny,
+                            unsigned char *mask, long *err_line) {
+  FILE *fp = fopen(path, "r");
+  if (!fp) return -1;
+  char buf[1 << 16];
+  setvbuf(fp, buf, _IOFBF, sizeof buf);
+  long count = 0, lineno = 0;
+  char line[256];
+  while (fgets(line, sizeof line, fp)) {
+    lineno++;
+    /* skip blank lines */
+    int only_ws = 1;
+    for (const char *p = line; *p; p++)
+      if (*p != ' ' && *p != '\t' && *p != '\n' && *p != '\r') { only_ws = 0; break; }
+    if (only_ws) continue;
+    long x, y, blocked;
+    char trail[8];
+    int nf = sscanf(line, "%ld %ld %ld %7s", &x, &y, &blocked, trail);
+    if (nf != 3) { *err_line = lineno; fclose(fp); return -2; }
+    if (x < 0 || x > nx - 1) { *err_line = lineno; fclose(fp); return -3; }
+    if (y < 0 || y > ny - 1) { *err_line = lineno; fclose(fp); return -4; }
+    if (blocked != 1) { *err_line = lineno; fclose(fp); return -5; }
+    mask[y * nx + x] = 1;
+    count++;
+  }
+  fclose(fp);
+  return count;
+}
+
 int fastio_write_av_vels(const char *path, const double *av, long n) {
   FILE *fp = fopen(path, "w");
   if (!fp) return 1;

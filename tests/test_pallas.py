@@ -66,7 +66,7 @@ class TestPallasEquivalence:
         fa, ava = run_fused(f0, obst, params)
         fb, avb = run_pallas(f0, obst, params)
         np.testing.assert_allclose(
-            np.asarray(fb), np.asarray(fa), rtol=1e-6, atol=1e-8
+            np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
         )
         # the kernel's reduction uses pre-collision moments (exactly equal
         # in real arithmetic, ~1e-7 rel in fp32)
@@ -93,7 +93,7 @@ class TestPallasEquivalence:
         fa, _ = run_fused(f0, obst, params)
         fb, _ = run_pallas(f0, obst, params)
         np.testing.assert_allclose(
-            np.asarray(fb), np.asarray(fa), rtol=1e-6, atol=1e-8
+            np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
         )
         # and the step did something on that row's neighborhood
         assert not np.allclose(np.asarray(fb[1, -2]), np.asarray(f0[1, -2]))
