@@ -188,6 +188,31 @@ class TestFusedStep:
         assert np.all(np.isfinite(np.asarray(av)))
 
 
+class TestDonationSafety:
+    def test_donated_buffer_run_matches_fresh(self, small_params, small_obstacles):
+        """The production path donates the state buffer into the scan (the
+        TPU analogue of the reference's pointer swap, d2q9-bgk.c:190); a
+        bad aliasing choice would corrupt the trajectory.  Compare a
+        donated run against an undonated one."""
+        import jax
+
+        obst = jnp.asarray(small_obstacles)
+
+        def runit(donate):
+            f0 = reference.initial_state(small_params)
+            fn = lambda f, o: fused.run_simulation(
+                f, o, small_params, n_iters=20
+            )
+            jitted = jax.jit(fn, donate_argnums=(0,) if donate else ())
+            f, av = jitted(f0, obst)
+            return np.asarray(f), np.asarray(av)
+
+        f_plain, av_plain = runit(False)
+        f_donated, av_donated = runit(True)
+        np.testing.assert_array_equal(f_donated, f_plain)
+        np.testing.assert_array_equal(av_donated, av_plain)
+
+
 class TestObstacleSemantics:
     def test_obstacle_cells_conserve_their_mass(self, small_params):
         """An isolated obstacle cell's outgoing mass returns after two
