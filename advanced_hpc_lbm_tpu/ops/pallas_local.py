@@ -1,0 +1,206 @@
+"""Shard-local Pallas step: the 1-step kernel without periodic wrap.
+
+Used by parallel.halo inside ``shard_map``: each device runs this kernel
+over its local row slab, with the two boundary rows delivered explicitly
+(they arrive by ring ``ppermute`` over ICI, which also supplies the global
+periodicity — see parallel/halo.py).  Differences from ops.pallas_step:
+
+* no wrap operand and no modular indices — the top halo of local tile 0
+  and the bottom halo of the last local tile are the ``top_halo`` /
+  ``bot_halo`` operands (each a full (9, 1, nx) array, which satisfies
+  Mosaic's tile rule by matching the array dims);
+* the forcing row is dynamic: global row ny-2 lands on one shard at a
+  local row index delivered as an SMEM scalar (-1 elsewhere since the
+  body is traced once for all shards under SPMD); the masked update is
+  predicated to the one tile containing it;
+* x-axis periodicity is global and stays a lane rotate (x is unsharded).
+
+The physics is ops.kernel_common, bit-identical to the other backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from advanced_hpc_lbm_tpu.ops import kernel_common, lattice
+from advanced_hpc_lbm_tpu.ops.pallas_step import MASK_DTYPE, _pick_tile_rows
+from advanced_hpc_lbm_tpu.params import LBMParams
+
+_LANE = 128
+
+
+def supported(ny_local: int, nx: int) -> bool:
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+    return (
+        on_tpu
+        and nx % _LANE == 0
+        and ny_local % 8 == 0
+        and ny_local >= 8
+        and _pick_tile_rows(ny_local, nx) is not None
+    )
+
+
+def _local_kernel(
+    accel_ref, f_ref, bot_ref, top_halo_ref, bot_halo_ref, obst_ref,
+    out_ref, tot_ref, top_scr, bot_scr,
+    *, params: LBMParams, ty: int, ny: int, nx: int,
+):
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    zero = jnp.float32(0.0)
+
+    obst = obst_ref[...].astype(jnp.float32) != 0.0
+
+    # top halo: parked row from the previous tile, or the neighbor-supplied
+    # row for the first tile
+    @pl.when(i == 0)
+    def _use_top_halo():
+        for k in range(lattice.NSPEEDS):
+            top_scr[k] = top_halo_ref[k]
+
+    # bottom halo: row 0 of the pipelined 8-row block for interior tiles,
+    # the neighbor-supplied row for the last tile (whose blocked fetch is
+    # clamped and ignored)
+    @pl.when(i < n_tiles - 1)
+    def _bot_from_block():
+        for k in range(lattice.NSPEEDS):
+            bot_scr[k] = bot_ref[k, 0:1, :]
+
+    @pl.when(i == n_tiles - 1)
+    def _bot_from_halo():
+        for k in range(lattice.NSPEEDS):
+            bot_scr[k] = bot_halo_ref[k]
+
+    # ---- forcing: the global row ny-2 lives at local row accel_ref[0,0]
+    # (or -1 on shards that don't own it); only its tile pays ----
+    accel_row = accel_ref[0, 0]
+
+    @pl.when(accel_row // ty == i)
+    def _apply_forcing():
+        w1, w2 = params.accel_w1, params.accel_w2
+        rowids = jax.lax.broadcasted_iota(jnp.int32, (ty, nx), 0) + i * ty
+        ok = (
+            (rowids == accel_row)
+            & jnp.logical_not(obst)
+            & (f_ref[3] - w1 > 0.0)
+            & (f_ref[6] - w2 > 0.0)
+            & (f_ref[7] - w2 > 0.0)
+        )
+        for k, dv in ((1, w1), (5, w2), (8, w2), (3, -w1), (6, -w2), (7, -w2)):
+            f_ref[k] = f_ref[k] + jnp.where(ok, jnp.float32(dv), zero)
+
+    # ---- pull streaming (x stays periodic-global: lane rotate) ----
+    def stream(k: int) -> jax.Array:
+        cy, cx = int(lattice.CY[k]), int(lattice.CX[k])
+        if cy == 1:
+            rows = jnp.concatenate([top_scr[k], f_ref[k][: ty - 1]], axis=0)
+        elif cy == -1:
+            rows = jnp.concatenate([f_ref[k][1:], bot_scr[k]], axis=0)
+        else:
+            rows = f_ref[k]
+        if cx:
+            rows = pltpu.roll(rows, cx % nx, axis=1)
+        return rows
+
+    streamed = [stream(k) for k in range(lattice.NSPEEDS)]
+
+    # park this tile's last pre-step row for the next tile (the forcing row
+    # is never a tile's last row when it exists: local row ny_loc-2 with
+    # ty | ny_loc and ty >= 4)
+    for k in range(lattice.NSPEEDS):
+        top_scr[k] = f_ref[k, ty - 1 : ty, :]
+
+    out_planes, u_sq = kernel_common.collide(streamed, obst, params)
+    for k in range(lattice.NSPEEDS):
+        out_ref[k] = out_planes[k]
+    tot_ref[i, 0] = jnp.sum(jnp.where(obst, zero, jnp.sqrt(u_sq)))
+
+
+@functools.lru_cache(maxsize=16)
+def _build_call(params: LBMParams, ny: int, nx: int, ty: int, interpret: bool):
+    grid = (ny // ty,)
+    kernel = functools.partial(_local_kernel, params=params, ty=ty, ny=ny, nx=nx)
+    vm = pltpu.VMEM
+    last_block = (ny - 8) // 8
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((9, ty, nx), lambda i: (0, i, 0), memory_space=vm),
+            pl.BlockSpec(
+                (9, 8, nx),
+                lambda i: (0, jnp.minimum(((i + 1) * ty) // 8, last_block), 0),
+                memory_space=vm,
+            ),
+            pl.BlockSpec((9, 1, nx), lambda i: (0, 0, 0), memory_space=vm),
+            pl.BlockSpec((9, 1, nx), lambda i: (0, 0, 0), memory_space=vm),
+            pl.BlockSpec((ty, nx), lambda i: (i, 0), memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, ty, nx), lambda i: (0, i, 0), memory_space=vm),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((ny // ty, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, 1, nx), jnp.float32),  # parked/top halo row
+            pltpu.VMEM((9, 1, nx), jnp.float32),  # bottom halo row
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(120 * ny * nx),
+            bytes_accessed=int(74 * ny * nx),
+            transcendentals=int(ny * nx),
+        ),
+        interpret=interpret,
+    )
+
+
+def local_step(
+    f_local: jax.Array,
+    top_halo: jax.Array,
+    bot_halo: jax.Array,
+    obstacles_local: jax.Array,
+    accel_local_row: jax.Array,
+    params: LBMParams,
+    *,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """One non-periodic step on a local slab.
+
+    Args:
+      f_local: (9, ny_local, nx) distributions of this shard.
+      top_halo: (9, 1, nx) — the row just below (global y-1), pre-step.
+      bot_halo: (9, 1, nx) — the row just above (global y+ny_local).
+      obstacles_local: (ny_local, nx) int8/bool mask.
+      accel_local_row: int32 scalar — local index of global row ny-2, or
+        -1 if this shard doesn't own it.
+      params: static run parameters.
+
+    Returns (f_next_local, tot_u_local).
+    """
+    _, ny_local, nx = f_local.shape
+    ty = _pick_tile_rows(ny_local, nx)
+    if ty is None or nx % _LANE:
+        raise ValueError(
+            f"local slab {ny_local}x{nx} not tileable for the local kernel"
+        )
+    if obstacles_local.dtype != MASK_DTYPE:
+        obstacles_local = obstacles_local.astype(MASK_DTYPE)
+    accel = jnp.asarray(accel_local_row, jnp.int32).reshape(1, 1)
+    call = _build_call(params, ny_local, nx, ty, interpret)
+    f_next, tots = call(
+        accel, f_local, f_local, top_halo, bot_halo, obstacles_local
+    )
+    return f_next, jnp.sum(tots)

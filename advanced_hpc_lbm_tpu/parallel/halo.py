@@ -105,11 +105,52 @@ def _local_fused_step(f, obstacles, row_mask, n_fluid, params, axis: str):
     return f_next, av
 
 
+def _local_pallas_step(f, obstacles8, n_fluid, params, axis: str, interpret):
+    """One step where the local slab runs the Mosaic kernel
+    (ops.pallas_local) and only the two boundary rows ride the ring —
+    the production multi-chip configuration: compute on the core, halos
+    over ICI, global periodicity from the ring wrap."""
+    from advanced_hpc_lbm_tpu.ops import pallas_local
+
+    n = jax.lax.psum(1, axis)
+    fwd = [(j, (j + 1) % n) for j in range(n)]
+    bwd = [(j, (j - 1) % n) for j in range(n)]
+
+    local_ny = f.shape[1]
+    top_halo = jax.lax.ppermute(f[:, -1:, :], axis, fwd)
+    bot_halo = jax.lax.ppermute(f[:, :1, :], axis, bwd)
+
+    # local index of the forcing row (global ny-2), or -1 off-shard; the
+    # body is SPMD-traced once, so this must be data-dependent
+    d = jax.lax.axis_index(axis)
+    lo = d * local_ny
+    global_accel = n * local_ny - 2
+    accel_local = jnp.where(
+        (global_accel >= lo) & (global_accel < lo + local_ny),
+        global_accel - lo,
+        -1,
+    ).astype(jnp.int32)
+
+    f_next, tot_local = pallas_local.local_step(
+        f, top_halo, bot_halo, obstacles8, accel_local, params,
+        interpret=interpret,
+    )
+    av = jax.lax.psum(tot_local, axis) / n_fluid
+    return f_next, av
+
+
 def make_sharded_runner(
-    mesh: Mesh, params: LBMParams, n_iters: int, axis: str = "y"
+    mesh: Mesh,
+    params: LBMParams,
+    n_iters: int,
+    axis: str = "y",
+    kernel: str = "jnp",
+    interpret: bool = False,
 ):
     """Build the jitted sharded main loop for a given mesh + deck shape.
 
+    ``kernel``: "jnp" (XLA-fused local step, runs anywhere) or "pallas"
+    (ops.pallas_local Mosaic kernel per shard — the TPU production path).
     Returns (runner, shardings) where runner(f0, obstacles, row_mask,
     n_fluid) -> (f_final, av_vels)."""
     f_spec = P(None, axis, None)
@@ -117,11 +158,20 @@ def make_sharded_runner(
     row_spec = P(axis)
 
     def whole_run(f, obstacles, row_mask, n_fluid):
-        def body(carry_f, _):
-            f_next, av = _local_fused_step(
-                carry_f, obstacles, row_mask, n_fluid, params, axis
-            )
-            return f_next, av
+        if kernel == "pallas":
+            from advanced_hpc_lbm_tpu.ops import pallas_local as _pk  # noqa: F401
+
+            obstacles8 = obstacles.astype(jnp.int8)
+
+            def body(carry_f, _):
+                return _local_pallas_step(
+                    carry_f, obstacles8, n_fluid, params, axis, interpret
+                )
+        else:
+            def body(carry_f, _):
+                return _local_fused_step(
+                    carry_f, obstacles, row_mask, n_fluid, params, axis
+                )
 
         return jax.lax.scan(body, f, None, length=n_iters)
 
@@ -130,6 +180,9 @@ def make_sharded_runner(
         mesh=mesh,
         in_specs=(f_spec, grid_spec, row_spec, P()),
         out_specs=(f_spec, P()),
+        # pallas_call outputs carry no varying-across-mesh annotation, so
+        # the vma consistency check can't see through them
+        check_vma=(kernel != "pallas"),
     )
     runner = jax.jit(mapped, donate_argnums=0)
     shardings = {
@@ -148,10 +201,13 @@ def run_sharded(
     *,
     n_iters: int | None = None,
     n_devices: int | None = None,
+    kernel: str = "jnp",
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Execute the full loop sharded along y. Drop-in replacement for
     ops.fused.run_simulation (same outputs, same numerics up to fp
-    reduction order)."""
+    reduction order).  kernel="pallas" runs the Mosaic local kernel per
+    shard (TPU production path)."""
     iters = params.max_iters if n_iters is None else n_iters
     mesh = make_y_mesh(n_devices)
     n = mesh.devices.size
@@ -160,7 +216,9 @@ def run_sharded(
 
     row_mask = jnp.zeros(params.ny, bool).at[params.ny - 2].set(True)
     n_fluid = jnp.sum(~obstacles).astype(jnp.float32)
-    runner, sh = make_sharded_runner(mesh, params, iters)
+    runner, sh = make_sharded_runner(
+        mesh, params, iters, kernel=kernel, interpret=interpret
+    )
 
     f0 = jax.device_put(f0, sh["f"])
     obstacles = jax.device_put(obstacles, sh["grid"])

@@ -66,6 +66,34 @@ def test_sharded_rejects_indivisible(deck):
         halo.run_sharded(f0, jnp.zeros((30, params.nx), bool), bad, n_devices=8)
 
 
+@pytest.mark.parametrize("n_devices", [2, 4])
+def test_sharded_pallas_kernel_matches(n_devices):
+    """The production multi-chip configuration: the Mosaic local kernel
+    per shard (interpret mode here), boundary rows via ring ppermute.
+    Needs a lane-aligned nx (the kernel's requirement)."""
+    params = LBMParams(
+        nx=128, ny=64, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    rng = np.random.RandomState(11)
+    mask = np.zeros((params.ny, params.nx), dtype=bool)
+    mask[0] = mask[-1] = True
+    mask[30:34, 40:80] = True
+    for _ in range(6):
+        mask[rng.randint(1, params.ny - 1), rng.randint(0, params.nx)] = True
+    obst = jnp.asarray(mask)
+    f0 = reference.initial_state(params)
+    fa, ava = fused.run_simulation(f0, obst, params, n_iters=8)
+    fb, avb = halo.run_sharded(
+        reference.initial_state(params), obst, params,
+        n_iters=8, n_devices=n_devices, kernel="pallas", interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
+
+
 def test_forcing_row_crosses_shard_boundary(deck):
     """Row ny-2 lives on the last shard; make sure its effect propagates
     across shard edges identically (halo correctness around the forcing)."""
