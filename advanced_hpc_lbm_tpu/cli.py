@@ -54,7 +54,23 @@ def build_parser() -> argparse.ArgumentParser:
         "--resume", action="store_true",
         help="resume from the latest snapshot in --checkpoint-dir",
     )
+    p.add_argument(
+        "--check-finite", action="store_true",
+        help="fail loudly if the run produced NaN/Inf (numerical sanitizer)",
+    )
     return p
+
+
+def _run_sim(sim: Simulation, args):
+    return sim.run(
+        n_iters=args.iters,
+        debug=args.debug,
+        devices=args.devices,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+        check_finite=args.check_finite,
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -82,14 +98,11 @@ def main(argv: list[str] | None = None) -> int:
         profiler_cm.__enter__()
 
     with timers.phase("compute"):
-        result = sim.run(
-            n_iters=args.iters,
-            debug=args.debug,
-            devices=args.devices,
-            checkpoint_every=args.checkpoint_every,
-            checkpoint_dir=args.checkpoint_dir,
-            resume=args.resume,
-        )
+        try:
+            result = _run_sim(sim, args)
+        except FloatingPointError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
 
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)

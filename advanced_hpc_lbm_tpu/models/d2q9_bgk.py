@@ -153,6 +153,7 @@ class Simulation:
         checkpoint_every: int | None = None,
         checkpoint_dir: str | os.PathLike = "checkpoints",
         resume: bool = False,
+        check_finite: bool = False,
     ) -> SimulationResult:
         """Execute the main loop fully on-device and fetch results.
 
@@ -164,9 +165,12 @@ class Simulation:
         """
         iters = self.params.max_iters if n_iters is None else n_iters
         if checkpoint_every or resume:
-            return self._run_checkpointed(
+            result = self._run_checkpointed(
                 iters, checkpoint_every or iters, checkpoint_dir, resume
             )
+            if check_finite:
+                self._assert_finite(result)
+            return result
         obstacles = jnp.asarray(self.obstacles)
         f0 = self.initial_state()
 
@@ -227,7 +231,22 @@ class Simulation:
             densities=None if densities is None else np.asarray(densities),
         )
         result._obstacles_cache = self.obstacles
+        if check_finite:
+            self._assert_finite(result)
         return result
+
+    @staticmethod
+    def _assert_finite(result: SimulationResult) -> None:
+        """Numerical-health gate (the sanitizer tier the reference lacks,
+        SURVEY.md section 5): a blown-up run fails loudly with the first
+        bad step instead of writing NaN output files."""
+        if not np.all(np.isfinite(result.f_final)):
+            raise FloatingPointError("non-finite values in final state")
+        bad = np.flatnonzero(~np.isfinite(result.av_vels))
+        if bad.size:
+            raise FloatingPointError(
+                f"non-finite av_velocity first at step {int(bad[0])}"
+            )
 
     def _run_checkpointed(
         self,

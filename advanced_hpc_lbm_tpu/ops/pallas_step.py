@@ -68,9 +68,10 @@ def _pick_tile_rows(ny: int, nx: int = 1024) -> int | None:
     if override:
         ty = int(override)
         return ty if ny % ty == 0 and ty % 8 == 0 else None
-    # 2 buffers x (in + out) x 9 planes x ty x nx x 4B must stay well under
-    # the 16 MB VMEM; cap one block at ~2.4 MB
-    budget_rows = max(8, (2_400_000 // (36 * nx)) // 8 * 8)
+    # 2 buffers x (in + out) x 9 planes x ty x nx x 4B plus the 8-row
+    # halo/wrap operands must stay under the 16 MB VMEM; a 2.4 MB block
+    # cap left only 420 KB of headroom shortfall at nx=4096, so cap at 2 MB
+    budget_rows = max(8, (2_000_000 // (36 * nx)) // 8 * 8)
     for ty in (32, 64, 16, 8):
         if ny % ty == 0 and ty <= budget_rows:
             return ty
