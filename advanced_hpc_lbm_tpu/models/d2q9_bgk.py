@@ -83,7 +83,7 @@ class Simulation:
         params: LBMParams,
         obstacles: np.ndarray,
         *,
-        backend: Backend = "fused",
+        backend: Backend = "auto",
         precision: Literal["fp32"] = "fp32",
     ) -> None:
         if obstacles.shape != (params.ny, params.nx):
