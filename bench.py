@@ -47,7 +47,7 @@ def main(argv=None) -> int:
         default="best",
         choices=["best", "fused", "pallas", "pallas2", "resident"],
     )
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument(
         "--warmup",
         type=int,

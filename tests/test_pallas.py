@@ -113,6 +113,17 @@ class TestPallasEquivalence:
             np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
         )
 
+    def test_minimum_grid_single_tile(self):
+        """ny=8 is the smallest tileable grid: one tile whose wrap operand
+        aliases its own main block and whose bottom halo wraps to row 0."""
+        params, obst, f0 = make_case(8, 128)
+        fa, ava = run_fused(f0, obst, params)
+        fb, avb = run_pallas(f0, obst, params)
+        np.testing.assert_allclose(
+            np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=1e-4)
+
     def test_untileable_grid_raises(self):
         params, obst, f0 = make_case(32, 100)
         n_fluid = jnp.sum(~obst).astype(jnp.float32)
