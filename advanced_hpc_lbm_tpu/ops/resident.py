@@ -166,6 +166,11 @@ def resident_run(
             f"grid {ny}x{nx} too large or untileable for the resident "
             "kernel; use the 'pallas' backend"
         )
+    # the per-step av scalars live in SMEM, where each (1,1) row costs
+    # 512 B of the ~1 MB budget — beyond ~1.5k steps/chunk the kernel
+    # fails to allocate, so clamp (measured: throughput is insensitive
+    # to chunk size from 250 to 1000)
+    chunk = min(chunk, 1500)
     obst8 = prepare_obstacles(obstacles)
     n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
 

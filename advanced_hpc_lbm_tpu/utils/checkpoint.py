@@ -57,11 +57,29 @@ class CheckpointManager:
         return sorted(out)
 
     def latest(self) -> tuple[int, np.ndarray, np.ndarray] | None:
-        steps = self.steps()
-        if not steps:
-            return None
-        with np.load(self._path(steps[-1])) as z:
-            return int(z["step"]), z["f"], z["av_vels"]
+        """Newest *readable* snapshot.  A truncated/corrupt file (e.g. the
+        machine died mid-write before the atomic rename... or disk-level
+        damage after it) is skipped with a warning and the previous
+        snapshot is used — the failure-recovery semantics the snapshots
+        exist for."""
+        for step in reversed(self.steps()):
+            try:
+                with np.load(self._path(step)) as z:
+                    f = np.asarray(z["f"])
+                    av = np.asarray(z["av_vels"])
+                    if f.ndim != 3 or f.shape[0] != 9 or av.shape[0] != step:
+                        raise ValueError(
+                            f"inconsistent snapshot shapes f={f.shape} "
+                            f"av={av.shape} step={step}"
+                        )
+                    return int(z["step"]), f, av
+            except Exception as e:  # zipfile/KeyError/ValueError
+                import warnings
+
+                warnings.warn(
+                    f"skipping unreadable checkpoint step_{step:08d}.npz: {e}"
+                )
+        return None
 
     def _prune(self) -> None:
         steps = self.steps()

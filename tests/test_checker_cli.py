@@ -1,0 +1,66 @@
+"""Our checker CLI vs the reference's original check.py: same verdicts,
+same numeric lines, same exit codes, on identical inputs."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_DIR, requires_reference
+
+ORIG = os.path.join(REFERENCE_DIR, "check", "check.py")
+
+
+def write_outputs(tmp_path, av, fs_pressure, prefix):
+    av_path = tmp_path / f"{prefix}_av.dat"
+    fs_path = tmp_path / f"{prefix}_fs.dat"
+    with open(av_path, "w") as fh:
+        for i, v in enumerate(av):
+            fh.write(f"{i}:\t{v:.12E}\n")
+    with open(fs_path, "w") as fh:
+        n = len(fs_pressure)
+        for i, p in enumerate(fs_pressure):
+            fh.write(f"{i % n} 0 0.0E+00 0.0E+00 0.0E+00 {p:.12E} 0\n")
+    return av_path, fs_path
+
+
+def run_checker(cmd_prefix, ref_av, ref_fs, av, fs):
+    proc = subprocess.run(
+        cmd_prefix
+        + [
+            f"--ref-av-vels-file={ref_av}",
+            f"--ref-final-state-file={ref_fs}",
+            f"--av-vels-file={av}",
+            f"--final-state-file={fs}",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    return proc.returncode, proc.stdout
+
+
+@requires_reference
+@pytest.mark.parametrize("scale,expect_pass", [(1.0 + 1e-6, True), (1.05, False)])
+def test_same_verdict_and_exit_code(tmp_path, scale, expect_pass):
+    rng = np.random.RandomState(0)
+    av = rng.uniform(1e-5, 1e-2, 50)
+    fs = rng.uniform(0.03, 0.04, 64)
+    ref_av, ref_fs = write_outputs(tmp_path, av, fs, "ref")
+    sim_av, sim_fs = write_outputs(tmp_path, av * scale, fs * scale, "sim")
+
+    rc_orig, out_orig = run_checker(
+        [sys.executable, ORIG], ref_av, ref_fs, sim_av, sim_fs
+    )
+    rc_ours, out_ours = run_checker(
+        [sys.executable, "-m", "advanced_hpc_lbm_tpu.utils.check"],
+        ref_av, ref_fs, sim_av, sim_fs,
+    )
+    assert rc_ours == rc_orig == (0 if expect_pass else 1)
+    assert ("Both tests passed!" in out_ours) == ("Both tests passed!" in out_orig)
+    # the quantitative lines agree verbatim
+    for key in ("Total difference in av_vels", "Total difference in final_state"):
+        line_o = next(l for l in out_orig.splitlines() if l.startswith(key))
+        line_u = next(l for l in out_ours.splitlines() if l.startswith(key))
+        assert line_u == line_o

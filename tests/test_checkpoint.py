@@ -41,6 +41,27 @@ class TestManager:
     def test_empty_dir(self, tmp_path):
         assert CheckpointManager(tmp_path).latest() is None
 
+    def test_corrupt_latest_falls_back(self, tmp_path):
+        """A damaged newest snapshot must not kill the resume — fall back
+        to the previous good one with a warning."""
+        mgr = CheckpointManager(tmp_path, keep=3)
+        f = np.arange(9 * 2 * 2, dtype=np.float32).reshape(9, 2, 2)
+        mgr.save(2, f, np.zeros(2, np.float32))
+        mgr.save(4, f * 2, np.zeros(4, np.float32))
+        # truncate the newest file
+        newest = tmp_path / "step_00000004.npz"
+        newest.write_bytes(newest.read_bytes()[:40])
+        with pytest.warns(UserWarning, match="unreadable checkpoint"):
+            step, f2, av2 = mgr.latest()
+        assert step == 2
+        np.testing.assert_array_equal(f2, f)
+
+    def test_all_corrupt_returns_none(self, tmp_path):
+        mgr = CheckpointManager(tmp_path)
+        (tmp_path / "step_00000003.npz").write_bytes(b"garbage")
+        with pytest.warns(UserWarning):
+            assert mgr.latest() is None
+
 
 class TestResume:
     def test_checkpointed_equals_straight(self, sim, tmp_path):
