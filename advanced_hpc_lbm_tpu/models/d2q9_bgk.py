@@ -279,19 +279,35 @@ class Simulation:
                     )
                 av_parts.append(np.asarray(av_prev)[:start])
 
-        step_fn = self._step_fn or fused.fused_step
+        # segments use the same fast backend a straight run would
+        if self.backend == "resident":
+            from advanced_hpc_lbm_tpu.ops import resident
+
+            def make_runner(seg):
+                return jax.jit(
+                    lambda ff, oo, _n=seg: resident.resident_run(
+                        ff, oo, self.params, n_iters=_n
+                    ),
+                    donate_argnums=0,
+                )
+        else:
+            step_fn = self._step_fn or fused.fused_step
+
+            def make_runner(seg):
+                return jax.jit(
+                    lambda ff, oo, _n=seg: fused.run_simulation(
+                        ff, oo, self.params, n_iters=_n, step_fn=step_fn
+                    ),
+                    donate_argnums=0,
+                )
+
         runner = None
         seg_len_compiled = None
         done = start
         while done < iters:
             seg = min(every, iters - done)
             if runner is None or seg != seg_len_compiled:
-                runner = jax.jit(
-                    lambda ff, oo, _n=seg: fused.run_simulation(
-                        ff, oo, self.params, n_iters=_n, step_fn=step_fn
-                    ),
-                    donate_argnums=0,
-                )
+                runner = make_runner(seg)
                 seg_len_compiled = seg
             f, av_seg = runner(f, obstacles)
             av_parts.append(np.asarray(jax.device_get(av_seg)))
