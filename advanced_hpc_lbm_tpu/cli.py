@@ -108,10 +108,19 @@ def main(argv: list[str] | None = None) -> int:
         profiler_cm.__exit__(None, None, None)
 
     if args.debug:
-        for tt, (av, dens) in enumerate(zip(result.av_vels, result.densities)):
-            print(f"==timestep: {tt}==")
-            print(f"av velocity: {av:.12E}")
-            print(f"tot density: {dens:.12E}")
+        if result.densities is None:
+            # backends that keep the whole loop on-device (sharded) don't
+            # stream densities; print the av history alone
+            for tt, av in enumerate(result.av_vels):
+                print(f"==timestep: {tt}==")
+                print(f"av velocity: {av:.12E}")
+        else:
+            for tt, (av, dens) in enumerate(
+                zip(result.av_vels, result.densities)
+            ):
+                print(f"==timestep: {tt}==")
+                print(f"av velocity: {av:.12E}")
+                print(f"tot density: {dens:.12E}")
 
     with timers.phase("collate"):
         # device->host transfer happened inside run(); here we only format.
