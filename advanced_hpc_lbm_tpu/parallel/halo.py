@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from advanced_hpc_lbm_tpu.ops import lattice
 from advanced_hpc_lbm_tpu.params import LBMParams
-from advanced_hpc_lbm_tpu.parallel.mesh import make_y_mesh
+from advanced_hpc_lbm_tpu.parallel.mesh import make_y_mesh, make_yx_mesh
 
 
 def _masked_accelerate(f, obstacles, row_mask, w1, w2):
@@ -192,6 +192,99 @@ def make_sharded_runner(
         "scalar": NamedSharding(mesh, P()),
     }
     return runner, shardings
+
+
+def _local_fused_step_2d(f, obstacles, row_mask, n_fluid, params, ay, ax):
+    """One fused step on a 2-D (row x column) shard.
+
+    Two-phase halo exchange: rows over the y ring first, then COLUMNS OF
+    THE ROW-EXTENDED ARRAY over the x ring — the second phase carries the
+    corner cells the diagonal speeds need, so no diagonal sends occur.
+    Streaming is then pure static slicing of the (ly+2, lx+2) window (even
+    the x-wrap needs no roll: it arrives via the ring)."""
+    ny_dev = jax.lax.psum(1, ay)
+    nx_dev = jax.lax.psum(1, ax)
+    fwd_y = [(j, (j + 1) % ny_dev) for j in range(ny_dev)]
+    bwd_y = [(j, (j - 1) % ny_dev) for j in range(ny_dev)]
+    fwd_x = [(j, (j + 1) % nx_dev) for j in range(nx_dev)]
+    bwd_x = [(j, (j - 1) % nx_dev) for j in range(nx_dev)]
+
+    f = _masked_accelerate(f, obstacles, row_mask, params.accel_w1, params.accel_w2)
+
+    top = jax.lax.ppermute(f[:, -1:, :], ay, fwd_y)
+    bot = jax.lax.ppermute(f[:, :1, :], ay, bwd_y)
+    f_y = jnp.concatenate([top, f, bot], axis=1)  # (9, ly+2, lx)
+    left = jax.lax.ppermute(f_y[:, :, -1:], ax, fwd_x)
+    right = jax.lax.ppermute(f_y[:, :, :1], ax, bwd_x)
+    f_ext = jnp.concatenate([left, f_y, right], axis=2)  # (9, ly+2, lx+2)
+
+    ly, lx = f.shape[1], f.shape[2]
+    streamed = [
+        jax.lax.slice(
+            f_ext[k],
+            (1 - int(lattice.CY[k]), 1 - int(lattice.CX[k])),
+            (1 - int(lattice.CY[k]) + ly, 1 - int(lattice.CX[k]) + lx),
+        )
+        for k in range(lattice.NSPEEDS)
+    ]
+
+    from advanced_hpc_lbm_tpu.ops import kernel_common
+
+    out_planes, u_sq = kernel_common.collide(streamed, obstacles, params)
+    f_next = jnp.stack(out_planes)
+    norm = jnp.sqrt(u_sq)
+    tot_local = jnp.sum(jnp.where(obstacles, 0.0, norm))
+    av = jax.lax.psum(jax.lax.psum(tot_local, ay), ax) / n_fluid
+    return f_next, av
+
+
+def run_sharded_2d(
+    f0: jax.Array,
+    obstacles: jax.Array,
+    params: LBMParams,
+    mesh_shape: tuple[int, int],
+    *,
+    n_iters: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Full loop on a (my, mx) torus: rows AND columns sharded.
+
+    Note: this path computes the reduction from pre-collision moments
+    (like the kernels; identical up to ~1e-7 fp noise — DESIGN.md)."""
+    iters = params.max_iters if n_iters is None else n_iters
+    my, mx = mesh_shape
+    mesh = make_yx_mesh(my, mx)
+    if params.ny % my or params.nx % mx:
+        raise ValueError(
+            f"grid {params.ny}x{params.nx} not divisible by mesh {my}x{mx}"
+        )
+
+    row_mask = jnp.zeros(params.ny, bool).at[params.ny - 2].set(True)
+    n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
+
+    f_spec = P(None, "y", "x")
+    grid_spec = P("y", "x")
+    row_spec = P("y")
+
+    def whole_run(f, obst, rmask, nf):
+        def body(carry_f, _):
+            return _local_fused_step_2d(
+                carry_f, obst, rmask, nf, params, "y", "x"
+            )
+
+        return jax.lax.scan(body, f, None, length=iters)
+
+    mapped = jax.shard_map(
+        whole_run,
+        mesh=mesh,
+        in_specs=(f_spec, grid_spec, row_spec, P()),
+        out_specs=(f_spec, P()),
+    )
+    runner = jax.jit(mapped, donate_argnums=0)
+    f0 = jax.device_put(f0, NamedSharding(mesh, f_spec))
+    obstacles = jax.device_put(obstacles, NamedSharding(mesh, grid_spec))
+    row_mask = jax.device_put(row_mask, NamedSharding(mesh, row_spec))
+    n_fluid = jax.device_put(n_fluid, NamedSharding(mesh, P()))
+    return runner(f0, obstacles, row_mask, n_fluid)
 
 
 def run_sharded(

@@ -20,3 +20,21 @@ def make_y_mesh(n_devices: int | None = None) -> Mesh:
     if n > len(devs):
         raise ValueError(f"requested {n} devices, only {len(devs)} available")
     return Mesh(np.array(devs[:n]), axis_names=("y",))
+
+
+def make_yx_mesh(my: int, mx: int) -> Mesh:
+    """2-D mesh: rows sharded over ``my`` devices, columns over ``mx``.
+
+    Used when a 1-D split would leave slabs too thin (local_ny below the
+    8-row sublane granule) — the 2-D torus decomposition SURVEY.md section 5
+    anticipates.  Corner data for the diagonal speeds rides the two-phase
+    halo exchange (rows first, then columns of the row-extended array), so
+    no diagonal sends are needed.
+    """
+    devs = jax.devices()
+    if my * mx > len(devs):
+        raise ValueError(
+            f"requested {my}x{mx} devices, only {len(devs)} available"
+        )
+    grid = np.array(devs[: my * mx]).reshape(my, mx)
+    return Mesh(grid, axis_names=("y", "x"))

@@ -94,6 +94,34 @@ def test_sharded_pallas_kernel_matches(n_devices):
     np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (2, 4), (4, 2), (1, 8)])
+def test_2d_mesh_matches_single(deck, mesh_shape):
+    """2-D torus decomposition: rows AND columns sharded, corners carried
+    by the two-phase exchange.  Any error in the corner plumbing shows up
+    through the diagonal speeds immediately."""
+    params, mask = deck
+    obst = jnp.asarray(mask)
+    f0 = reference.initial_state(params)
+    fa, ava = fused.run_simulation(f0, obst, params, n_iters=10)
+    fb, avb = halo.run_sharded_2d(
+        reference.initial_state(params), obst, params, mesh_shape, n_iters=10
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
+    )
+    # 2-D path reduces pre-collision moments (fp-identical physics)
+    np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
+
+
+def test_2d_mesh_rejects_indivisible(deck):
+    params, mask = deck
+    f0 = reference.initial_state(params)
+    with pytest.raises(ValueError, match="not divisible"):
+        halo.run_sharded_2d(
+            f0, jnp.asarray(mask), params, (3, 2), n_iters=1
+        )
+
+
 def test_forcing_row_crosses_shard_boundary(deck):
     """Row ny-2 lives on the last shard; make sure its effect propagates
     across shard edges identically (halo correctness around the forcing)."""
