@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--check-finite", action="store_true",
         help="fail loudly if the run produced NaN/Inf (numerical sanitizer)",
     )
+    p.add_argument(
+        "--shard-kernel", default="jnp", choices=["jnp", "pallas"],
+        help="local-step implementation for --backend sharded",
+    )
     return p
 
 
@@ -70,6 +74,7 @@ def _run_sim(sim: Simulation, args):
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
         check_finite=args.check_finite,
+        shard_kernel=args.shard_kernel,
     )
 
 

@@ -154,6 +154,7 @@ class Simulation:
         checkpoint_dir: str | os.PathLike = "checkpoints",
         resume: bool = False,
         check_finite: bool = False,
+        shard_kernel: str = "jnp",
     ) -> SimulationResult:
         """Execute the main loop fully on-device and fetch results.
 
@@ -178,7 +179,8 @@ class Simulation:
             from advanced_hpc_lbm_tpu.parallel import halo
 
             f_final, av_vels = halo.run_sharded(
-                f0, obstacles, self.params, n_iters=iters, n_devices=devices
+                f0, obstacles, self.params, n_iters=iters, n_devices=devices,
+                kernel=shard_kernel,
             )
             densities = None
         elif self.backend == "resident" and not debug:
