@@ -15,11 +15,14 @@ slab is tiny (9*nx*4 B) relative to ICI bandwidth.
 
 The whole ``max_iters`` loop runs inside one ``shard_map`` + ``lax.scan``,
 so there is exactly one compiled program and zero host round-trips.
+
+Variants: ``kernel="pallas"`` runs the Mosaic local kernel per shard
+(ops.pallas_local — compute on-core, only boundary rows on the wire);
+``run_sharded_2d`` shards rows AND columns over a (my, mx) torus with a
+two-phase exchange that carries the diagonal-speed corners for free.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
