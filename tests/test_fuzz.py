@@ -66,3 +66,14 @@ def test_backends_agree_on_random_decks(seed):
         np.asarray(f_p2), np.asarray(f_fused), rtol=1e-4, atol=1e-6,
         err_msg=f"pallas2 vs fused diverged (seed {seed}, {params})",
     )
+
+    # VMEM-resident whole-run kernel (its own chunking/ping-pong)
+    from advanced_hpc_lbm_tpu.ops import resident
+
+    f_res, _ = resident.resident_run(
+        f0, obst, params, n_iters=params.max_iters, chunk=3, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_res), np.asarray(f_fused), rtol=1e-4, atol=1e-6,
+        err_msg=f"resident vs fused diverged (seed {seed}, {params})",
+    )
