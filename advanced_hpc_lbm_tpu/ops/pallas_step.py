@@ -34,8 +34,9 @@ Design (vs the reference's ``timestep_new2``, d2q9-bgk.c:228-1813):
   moments the reference recomputes (d2q9-bgk.c:1103-1130) are identical up
   to fp rounding (~1e-7 rel — invisible at the checker's 1% contract).
 
-Everything is fp32.  Measured on one TPU v5e chip this sustains ~10x the
-reference's optimized serial throughput per step at 1024x1024 x ~275.
+Everything is fp32.  Measured on one TPU v5e chip this sustains
+11.5-12.1 GLUPS at 1024x1024 (86.6-90.8 us/step — at the 73 B/cell HBM
+roofline; ~330x the reference's optimized serial C).  See BENCH.md.
 """
 
 from __future__ import annotations
