@@ -26,6 +26,12 @@ HBM intermediates per step), so the formulation only pays inside a kernel
 where `proj` stays in VMEM — the round-2 experiment is to embed this
 contraction in ops.resident's fori body, where the state is already
 VMEM-resident and the VPU is the binding resource.
+
+Probed in-kernel feasibility (2026-08-16): a (21x9)@(9,16384) jnp.dot
+compiles and runs inside a Pallas kernel, BUT the MXU rounds fp32 inputs
+through bf16 (~0.25% error — fatal over 40k steps); the in-kernel
+contraction must use ``precision=jax.lax.Precision.HIGHEST`` (3-pass
+fp32 emulation, still cheap at these shapes).
 """
 
 from __future__ import annotations
