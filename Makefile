@@ -12,7 +12,7 @@ OBSTACLES = $(REF)/obstacles_$(DECK).dat
 REF_AV_VELS_FILE = $(REF)/check/$(DECK).av_vels.dat
 REF_FINAL_STATE_FILE = $(REF)/check/$(DECK).final_state.dat
 
-.PHONY: all native test run check bench validate clean
+.PHONY: all native test multichip run check bench validate clean
 
 all: native
 	$(PY) -m pip install -e . --no-deps --no-build-isolation -q
@@ -20,8 +20,14 @@ all: native
 native:
 	$(PY) -m advanced_hpc_lbm_tpu.utils.native
 
-test:
+test: multichip
 	$(PY) -m pytest tests/ -x -q -m "not slow"
+
+# driver-contract smoke: the multi-chip dry run must pass in a fresh
+# process exactly the way the round driver invokes it
+multichip:
+	$(PY) -c "from __graft_entry__ import dryrun_multichip; \
+	dryrun_multichip(8); print('multichip dryrun OK')"
 
 run:
 	$(PY) -m advanced_hpc_lbm_tpu $(PARAMS) $(OBSTACLES)

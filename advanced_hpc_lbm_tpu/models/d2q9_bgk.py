@@ -165,9 +165,16 @@ class Simulation:
         (utils/checkpoint.py); ``resume`` restarts from the latest snapshot.
         """
         iters = self.params.max_iters if n_iters is None else n_iters
+        sharded = self.backend == "sharded" or (devices is not None and devices > 1)
+        if sharded and debug:
+            raise ValueError(
+                "debug density collection needs per-step host data and is "
+                "not supported on the sharded backend"
+            )
         if checkpoint_every or resume:
             result = self._run_checkpointed(
-                iters, checkpoint_every or iters, checkpoint_dir, resume
+                iters, checkpoint_every or iters, checkpoint_dir, resume,
+                debug=debug, devices=devices, shard_kernel=shard_kernel,
             )
             if check_finite:
                 self._assert_finite(result)
@@ -175,7 +182,7 @@ class Simulation:
         obstacles = jnp.asarray(self.obstacles)
         f0 = self.initial_state()
 
-        if self.backend == "sharded" or (devices is not None and devices > 1):
+        if sharded:
             from advanced_hpc_lbm_tpu.parallel import halo
 
             f_final, av_vels = halo.run_sharded(
@@ -256,12 +263,19 @@ class Simulation:
         every: int,
         checkpoint_dir: str | os.PathLike,
         resume: bool,
+        *,
+        debug: bool = False,
+        devices: int | None = None,
+        shard_kernel: str = "jnp",
     ) -> SimulationResult:
         """Host-level segment loop with snapshots at segment boundaries.
 
         Segments of ``every`` steps run fully on-device (a fixed segment
         length compiles once); the distribution array + av history are
-        snapshotted between segments (utils/checkpoint.py).
+        snapshotted between segments (utils/checkpoint.py).  Honors the same
+        execution configuration as a straight run: ``devices``/``sharded``
+        runs each segment through the halo-exchanged mesh path, ``debug``
+        collects per-step densities per segment.
         """
         from advanced_hpc_lbm_tpu.utils.checkpoint import CheckpointManager
 
@@ -281,8 +295,20 @@ class Simulation:
                     )
                 av_parts.append(np.asarray(av_prev)[:start])
 
-        # segments use the same fast backend a straight run would
-        if self.backend == "resident":
+        # segments use the same backend configuration a straight run would
+        sharded = self.backend == "sharded" or (devices is not None and devices > 1)
+        density_parts: list[np.ndarray] = []
+        if sharded:
+            from advanced_hpc_lbm_tpu.parallel import halo
+
+            def make_runner(seg):
+                def _run(ff, oo, _n=seg):
+                    return halo.run_sharded(
+                        ff, oo, self.params, n_iters=_n,
+                        n_devices=devices, kernel=shard_kernel,
+                    )
+                return _run
+        elif self.backend == "resident" and not debug:
             from advanced_hpc_lbm_tpu.ops import resident
 
             def make_runner(seg):
@@ -298,7 +324,8 @@ class Simulation:
             def make_runner(seg):
                 return jax.jit(
                     lambda ff, oo, _n=seg: fused.run_simulation(
-                        ff, oo, self.params, n_iters=_n, step_fn=step_fn
+                        ff, oo, self.params, n_iters=_n, step_fn=step_fn,
+                        collect_density=debug,
                     ),
                     donate_argnums=0,
                 )
@@ -311,7 +338,12 @@ class Simulation:
             if runner is None or seg != seg_len_compiled:
                 runner = make_runner(seg)
                 seg_len_compiled = seg
-            f, av_seg = runner(f, obstacles)
+            out = runner(f, obstacles)
+            if debug and not sharded:
+                f, av_seg, dens_seg = out
+                density_parts.append(np.asarray(jax.device_get(dens_seg)))
+            else:
+                f, av_seg = out
             av_parts.append(np.asarray(jax.device_get(av_seg)))
             done += seg
             mgr.save(done, np.asarray(jax.device_get(f)), np.concatenate(av_parts))
@@ -323,6 +355,9 @@ class Simulation:
                 np.concatenate(av_parts)
                 if av_parts
                 else np.zeros((0,), np.float32)
+            ),
+            densities=(
+                np.concatenate(density_parts) if density_parts else None
             ),
         )
         result._obstacles_cache = self.obstacles

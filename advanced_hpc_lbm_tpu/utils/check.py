@@ -26,6 +26,8 @@ class DiffStats:
     sim_val: float
     ref_val: float
     total: float
+    # (jj, ii) of the biggest difference — final_state only (check.py:123-127)
+    coord: tuple[int, int] | None = None
 
     @property
     def finite(self) -> bool:
@@ -84,9 +86,16 @@ def check_files(
         raise ValueError("Final state files coordinates were not the same")
     if av_ref.size != av_sim.size:
         raise ValueError("Different number of steps in av_vels files")
+    fs = diff_values(fs_ref[:, 2], fs_sim[:, 2])
+    # locate the biggest difference in grid coords, from the sim table's
+    # columns 0/1 like check/check.py:123-127
+    fs.coord = (
+        int(fs_sim[fs.max_diff_step, 0]),
+        int(fs_sim[fs.max_diff_step, 1]),
+    )
     return CheckResult(
         av_vels=diff_values(av_ref, av_sim),
-        final_state=diff_values(fs_ref[:, 2], fs_sim[:, 2]),
+        final_state=fs,
         tolerance=tolerance,
     )
 
@@ -131,8 +140,9 @@ def _main(argv: list[str]) -> int:
     print(f"Biggest difference (at step {av.max_diff_step:d}) : {av.max_diff:.12E}")
     print(f"  {av.sim_val:.12E} vs. {av.ref_val:.12E} = {av.max_diff_pcnt:.2g}%")
     print()
+    jj, ii = fs.coord
     print(f"Total difference in final_state : {fs.total:.12E}")
-    print(f"Biggest difference (at element {fs.max_diff_step:d}) : {fs.max_diff:.12E}")
+    print(f"Biggest difference (at coord ({jj:d},{ii:d})) : {fs.max_diff:.12E}")
     print(f"  {fs.sim_val:.12E} vs. {fs.ref_val:.12E} = {fs.max_diff_pcnt:.2g}%")
     print()
     if not fs.passed(res.tolerance):

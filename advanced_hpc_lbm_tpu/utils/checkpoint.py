@@ -41,7 +41,16 @@ class CheckpointManager:
                     f=np.asarray(f, np.float32),
                     av_vels=np.asarray(av_vels, np.float32),
                 )
+                # durability: the rename below is only atomic for data that
+                # has reached the disk
+                fh.flush()
+                os.fsync(fh.fileno())
             os.replace(tmp, self._path(step))
+            dirfd = os.open(self.directory, os.O_RDONLY)
+            try:
+                os.fsync(dirfd)
+            finally:
+                os.close(dirfd)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)

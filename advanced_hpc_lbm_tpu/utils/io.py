@@ -89,7 +89,14 @@ def load_obstacles(path: str | os.PathLike, params: LBMParams) -> np.ndarray:
                 raise DeckError(
                     f"expected 3 values per line in obstacle file ({path}:{lineno})"
                 )
-            xx, yy, blocked = (int(v) for v in fields)
+            try:
+                xx, yy, blocked = (int(v) for v in fields)
+            except ValueError:
+                # same die()-style error the native codec raises for
+                # non-integer fields (d2q9-bgk.c:2842)
+                raise DeckError(
+                    f"expected 3 values per line in obstacle file ({path}:{lineno})"
+                ) from None
             if not 0 <= xx <= params.nx - 1:
                 raise DeckError(f"obstacle x-coord out of range ({path}:{lineno})")
             if not 0 <= yy <= params.ny - 1:

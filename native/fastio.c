@@ -46,6 +46,16 @@ long fastio_parse_obstacles(const char *path, long nx, long ny,
   char line[256];
   while (fgets(line, sizeof line, fp)) {
     lineno++;
+    /* a line longer than the buffer would otherwise be split into two
+     * bogus parses — treat truncation (no newline, not EOF) as malformed */
+    size_t len = 0;
+    while (line[len]) len++;
+    if (len + 1 == sizeof line && line[len - 1] != '\n' &&
+        !(feof(fp) || ferror(fp))) {
+      *err_line = lineno;
+      fclose(fp);
+      return -2;
+    }
     /* skip blank lines */
     int only_ws = 1;
     for (const char *p = line; *p; p++)

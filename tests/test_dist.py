@@ -133,3 +133,21 @@ def test_forcing_row_crosses_shard_boundary(deck):
         reference.initial_state(params), obst, params, n_iters=3, n_devices=8
     )
     np.testing.assert_allclose(np.asarray(av8), np.asarray(av1), rtol=1e-6)
+
+
+def test_driver_dryrun_contract():
+    """The driver invokes dryrun_multichip(8) in a FRESH process where
+    JAX_PLATFORMS is pinned to the TPU plugin with one visible chip; the
+    function must self-provision the virtual CPU mesh (round-1 regression:
+    MULTICHIP_r01 failed exactly here).  Run it the same way."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        cwd=repo, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
