@@ -94,6 +94,17 @@ def main(argv: list[str] | None = None) -> int:
             # clean hard-exit on bad inputs, like die() (d2q9-bgk.c:3001-3007)
             print(f"Error: {e}", file=sys.stderr)
             return 1
+        # AOT-compile the exact executable the main loop will dispatch, so
+        # the Compute timer measures compute the way the reference's does
+        # (d2q9-bgk.c:177-206) instead of swallowing multi-second remote
+        # Mosaic/XLA compiles
+        if not (
+            args.devices
+            or args.checkpoint_every
+            or args.resume
+            or args.backend == "sharded"
+        ):
+            sim.warmup(n_iters=args.iters, debug=args.debug)
 
     profiler_cm = None
     if args.profile:

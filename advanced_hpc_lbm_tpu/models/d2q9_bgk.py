@@ -94,6 +94,8 @@ class Simulation:
         self.obstacles = np.asarray(obstacles, dtype=bool)
         self.backend = backend
         self._step_fn = self._resolve_backend(backend)
+        # (iters, debug) -> AOT-compiled whole-run executable (see warmup)
+        self._compiled: dict[tuple[int, bool], object] = {}
 
     @classmethod
     def from_decks(
@@ -144,6 +146,66 @@ class Simulation:
     def initial_state(self) -> jax.Array:
         return reference.initial_state(self.params)
 
+    def _make_device_runner(self, iters: int, debug: bool):
+        """The jitted whole-run callable (f0, obstacles) -> outputs for the
+        current single-device backend.  Output arity: 3 with debug (f, av,
+        densities — always via the fused path), else 2 (f, av)."""
+        if self.backend == "resident" and not debug:
+            from advanced_hpc_lbm_tpu.ops import resident
+
+            return jax.jit(
+                lambda f, o: resident.resident_run(
+                    f, o, self.params, n_iters=iters
+                ),
+                donate_argnums=0,
+            )
+        if self.backend == "pallas2" and not debug:
+            from advanced_hpc_lbm_tpu.ops import pallas_multi
+
+            return jax.jit(
+                lambda f, o: pallas_multi.run(f, o, self.params, n_iters=iters),
+                donate_argnums=0,
+            )
+        # debug mode needs per-step host data; whole-run kernels fall back
+        step_fn = (
+            fused.fused_step
+            if self.backend in ("resident", "pallas2")
+            else self._step_fn
+        )
+        return jax.jit(
+            lambda f, o: fused.run_simulation(
+                f,
+                o,
+                self.params,
+                n_iters=iters,
+                step_fn=step_fn,
+                collect_density=debug,
+            ),
+            donate_argnums=0,
+        )
+
+    def warmup(self, *, n_iters: int | None = None, debug: bool = False) -> None:
+        """AOT-compile the exact executable ``run`` will dispatch.
+
+        The reference's Compute timer measures pure compute
+        (d2q9-bgk.c:177-206); calling this during the Init phase keeps that
+        contract here too — on TPU the (multi-second, remote) Mosaic/XLA
+        compile lands in Init, and ``run`` then invokes the stored compiled
+        executable.  No-op for the sharded/checkpointed paths (they build
+        their own programs)."""
+        if self.backend == "sharded":
+            return
+        iters = self.params.max_iters if n_iters is None else n_iters
+        key = (iters, debug)
+        if key in self._compiled:
+            return
+        runner = self._make_device_runner(iters, debug)
+        f_s = jax.ShapeDtypeStruct(
+            (9, self.params.ny, self.params.nx), jnp.float32
+        )
+        o_s = jax.ShapeDtypeStruct((self.params.ny, self.params.nx), jnp.bool_)
+        self._compiled[key] = runner.lower(f_s, o_s).compile()
+
     def run(
         self,
         *,
@@ -190,42 +252,10 @@ class Simulation:
                 kernel=shard_kernel,
             )
             densities = None
-        elif self.backend == "resident" and not debug:
-            from advanced_hpc_lbm_tpu.ops import resident
-
-            runner = jax.jit(
-                lambda f, o: resident.resident_run(
-                    f, o, self.params, n_iters=iters
-                ),
-                donate_argnums=0,
-            )
-            f_final, av_vels = runner(f0, obstacles)
-            densities = None
-        elif self.backend == "pallas2" and not debug:
-            from advanced_hpc_lbm_tpu.ops import pallas_multi
-
-            runner = jax.jit(
-                lambda f, o: pallas_multi.run(f, o, self.params, n_iters=iters),
-                donate_argnums=0,
-            )
-            f_final, av_vels = runner(f0, obstacles)
-            densities = None
         else:
-            if self.backend in ("resident", "pallas2"):
-                # debug mode needs per-step host data
-                self._step_fn = fused.fused_step
-            runner = jax.jit(
-                lambda f, o: fused.run_simulation(
-                    f,
-                    o,
-                    self.params,
-                    n_iters=iters,
-                    step_fn=self._step_fn,
-                    collect_density=debug,
-                ),
-                static_argnames=(),
-                donate_argnums=0,
-            )
+            runner = self._compiled.get((iters, debug))
+            if runner is None:
+                runner = self._make_device_runner(iters, debug)
             out = runner(f0, obstacles)
             if debug:
                 f_final, av_vels, densities = out

@@ -31,7 +31,19 @@ Probed in-kernel feasibility (2026-08-16): a (21x9)@(9,16384) jnp.dot
 compiles and runs inside a Pallas kernel, BUT the MXU rounds fp32 inputs
 through bf16 (~0.25% error — fatal over 40k steps); the in-kernel
 contraction must use ``precision=jax.lax.Precision.HIGHEST`` (3-pass
-fp32 emulation, still cheap at these shapes).
+fp32 emulation).
+
+MEASURED IN-KERNEL VERDICT (round 2, scripts/mxu_inkernel_bench.py,
+interleaved A/B on VMEM-resident 128^2 state, 20k iters/call so dispatch
+noise is amortized): the flat MXU collide runs at 5.2 us/iter vs the VPU
+pairwise collide's 3.1 us/iter — the MXU LOSES 1.67x on the collide stage
+alone, before paying for the costlier flat-layout streaming.  The round-1
+sizing ("~L/128 MXU cycles") was wrong: with M=21, K=9 the systolic array
+is N-bound at ~1 column (128 lanes **of one output row-tile**) per cycle,
+so the contraction costs ~L cycles x3 (HIGHEST passes) ~ 3x the entire
+VPU step budget.  The MXU cannot beat the VPU on an operator this small;
+this module stays as oracle-verified mathematics + the measurement
+harness, and is deliberately NOT a production backend.
 """
 
 from __future__ import annotations

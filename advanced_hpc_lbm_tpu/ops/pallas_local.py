@@ -167,6 +167,179 @@ def _build_call(params: LBMParams, ny: int, nx: int, ty: int, interpret: bool):
     )
 
 
+# x-moving planes and the slot their pre-shifted halo column occupies in
+# the (6, ly, 1) halo-columns operand of the 2-D kernel (see local_step_2d)
+_XCOL_PLANES = (1, 5, 8, 3, 6, 7)  # cx=+1 pull left; cx=-1 pull right
+_XCOL_SLOT = {k: j for j, k in enumerate(_XCOL_PLANES)}
+
+
+def _local2d_kernel(
+    accel_ref, f_ref, bot_ref, top_halo_ref, bot_halo_ref, cols_ref, obst_ref,
+    out_ref, tot_ref, top_scr, bot_scr,
+    *, params: LBMParams, ty: int, ny: int, nx: int,
+):
+    """Row-slab tiles over a shard whose domain is cut in BOTH axes: the
+    y machinery is _local_kernel's; the x edges splice in pre-shifted halo
+    columns instead of a periodic lane rotate (the columns arrive already
+    y-aligned per plane, so corners need no special handling)."""
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    zero = jnp.float32(0.0)
+
+    obst = obst_ref[...].astype(jnp.float32) != 0.0
+
+    @pl.when(i == 0)
+    def _use_top_halo():
+        for k in range(lattice.NSPEEDS):
+            top_scr[k] = top_halo_ref[k]
+
+    @pl.when(i < n_tiles - 1)
+    def _bot_from_block():
+        for k in range(lattice.NSPEEDS):
+            bot_scr[k] = bot_ref[k, 0:1, :]
+
+    @pl.when(i == n_tiles - 1)
+    def _bot_from_halo():
+        for k in range(lattice.NSPEEDS):
+            bot_scr[k] = bot_halo_ref[k]
+
+    accel_row = accel_ref[0, 0]
+
+    @pl.when(accel_row // ty == i)
+    def _apply_forcing():
+        w1, w2 = params.accel_w1, params.accel_w2
+        rowids = jax.lax.broadcasted_iota(jnp.int32, (ty, nx), 0) + i * ty
+        ok = (
+            (rowids == accel_row)
+            & jnp.logical_not(obst)
+            & (f_ref[3] - w1 > 0.0)
+            & (f_ref[6] - w2 > 0.0)
+            & (f_ref[7] - w2 > 0.0)
+        )
+        for k, dv in ((1, w1), (5, w2), (8, w2), (3, -w1), (6, -w2), (7, -w2)):
+            f_ref[k] = f_ref[k] + jnp.where(ok, jnp.float32(dv), zero)
+
+    def stream(k: int) -> jax.Array:
+        cy, cx = int(lattice.CY[k]), int(lattice.CX[k])
+        if cy == 1:
+            rows = jnp.concatenate([top_scr[k], f_ref[k][: ty - 1]], axis=0)
+        elif cy == -1:
+            rows = jnp.concatenate([f_ref[k][1:], bot_scr[k]], axis=0)
+        else:
+            rows = f_ref[k]
+        if cx == 1:  # pull from x-1: splice the left halo column at x=0
+            col = cols_ref[_XCOL_SLOT[k]]
+            rows = jnp.concatenate([col, rows[:, : nx - 1]], axis=1)
+        elif cx == -1:  # pull from x+1: splice the right halo column
+            col = cols_ref[_XCOL_SLOT[k]]
+            rows = jnp.concatenate([rows[:, 1:], col], axis=1)
+        return rows
+
+    streamed = [stream(k) for k in range(lattice.NSPEEDS)]
+
+    for k in range(lattice.NSPEEDS):
+        top_scr[k] = f_ref[k, ty - 1 : ty, :]
+
+    out_planes, u_sq = kernel_common.collide(streamed, obst, params)
+    for k in range(lattice.NSPEEDS):
+        out_ref[k] = out_planes[k]
+    tot_ref[i, 0] = jnp.sum(jnp.where(obst, zero, jnp.sqrt(u_sq)))
+
+
+@functools.lru_cache(maxsize=16)
+def _build_call_2d(
+    params: LBMParams, ny: int, nx: int, ty: int, interpret: bool
+):
+    grid = (ny // ty,)
+    kernel = functools.partial(
+        _local2d_kernel, params=params, ty=ty, ny=ny, nx=nx
+    )
+    vm = pltpu.VMEM
+    last_block = (ny - 8) // 8
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((9, ty, nx), lambda i: (0, i, 0), memory_space=vm),
+            pl.BlockSpec(
+                (9, 8, nx),
+                lambda i: (0, jnp.minimum(((i + 1) * ty) // 8, last_block), 0),
+                memory_space=vm,
+            ),
+            pl.BlockSpec((9, 1, nx), lambda i: (0, 0, 0), memory_space=vm),
+            pl.BlockSpec((9, 1, nx), lambda i: (0, 0, 0), memory_space=vm),
+            pl.BlockSpec((6, ty, 1), lambda i: (0, i, 0), memory_space=vm),
+            pl.BlockSpec((ty, nx), lambda i: (i, 0), memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, ty, nx), lambda i: (0, i, 0), memory_space=vm),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((ny // ty, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, 1, nx), jnp.float32),
+            pltpu.VMEM((9, 1, nx), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(120 * ny * nx),
+            bytes_accessed=int(74 * ny * nx),
+            transcendentals=int(ny * nx),
+        ),
+        interpret=interpret,
+    )
+
+
+def local_step_2d(
+    f_local: jax.Array,
+    top_halo: jax.Array,
+    bot_halo: jax.Array,
+    halo_cols: jax.Array,
+    obstacles_local: jax.Array,
+    accel_local_row: jax.Array,
+    params: LBMParams,
+    *,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """One non-periodic step on a (ly, lx) shard of a 2-D torus.
+
+    Args:
+      f_local: (9, ly, lx) distributions of this shard.
+      top_halo / bot_halo: (9, 1, lx) neighbor rows (global y-1 / y+ly).
+      halo_cols: (6, ly, 1) pre-shifted halo columns, one per x-moving
+        plane in _XCOL_PLANES order: for plane k with displacement
+        (cy, cx), slot j holds column x-cx of the row-extended neighbor
+        edge sliced at rows [1-cy, 1-cy+ly) — i.e. exactly the values the
+        pull stream needs at this shard's x edge, corners included
+        (built by parallel.halo._local_pallas_step_2d).
+      obstacles_local: (ly, lx) int8/bool mask.
+      accel_local_row: int32 scalar — local index of global row ny-2, or
+        -1 if this shard doesn't own it.
+
+    Returns (f_next_local, tot_u_local).
+    """
+    _, ny_local, nx_local = f_local.shape
+    ty = _pick_tile_rows(ny_local, nx_local)
+    if ty is None or nx_local % _LANE:
+        raise ValueError(
+            f"local shard {ny_local}x{nx_local} not tileable for the 2-D "
+            "local kernel"
+        )
+    if obstacles_local.dtype != MASK_DTYPE:
+        obstacles_local = obstacles_local.astype(MASK_DTYPE)
+    accel = jnp.asarray(accel_local_row, jnp.int32).reshape(1, 1)
+    call = _build_call_2d(params, ny_local, nx_local, ty, interpret)
+    f_next, tots = call(
+        accel, f_local, f_local, top_halo, bot_halo, halo_cols,
+        obstacles_local,
+    )
+    return f_next, jnp.sum(tots)
+
+
 def local_step(
     f_local: jax.Array,
     top_halo: jax.Array,

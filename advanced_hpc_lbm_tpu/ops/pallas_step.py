@@ -11,16 +11,22 @@ Design (vs the reference's ``timestep_new2``, d2q9-bgk.c:228-1813):
 * grid over row-slabs of TY rows, executed sequentially bottom-to-top;
   each program's main operand is its (9, TY, nx) block, pipelined by
   Mosaic with automatic double buffering;
-* **halo reads cost one 8-row block per tile, not two**: the north (top)
-  halo of tile i+1 is the last row of tile i's input block, which tile i
-  parks in a persistent VMEM scratch (scratch survives across the
-  sequential grid); only the south (bottom) halo — a row of a *future*
-  tile — is fetched, as the Mosaic-pipelined 8-row block containing it
-  (single-row slices of tiled fp32 are not DMA-able; 8 rows is the
-  sublane granule).  Tile 0's top halo is the periodic wrap row ny-1,
-  read from a constant-index 8-row operand that block-revisiting fetches
-  only once per step.  The wrap that cost the reference a 1500-line 9-way
-  loop peel (d2q9-bgk.c:262-1810) is a modular block index here;
+* **halo reads cost three 8-row single-plane blocks per tile, not a
+  full-plane stack**: the north (top) halo of tile i+1 is the last row of
+  tile i's input block, which tile i parks in a persistent VMEM scratch
+  (scratch survives across the sequential grid) — only the three
+  north-moving planes {2,5,6} are parked, because only they pull from
+  below.  The south (bottom) halo — a row of a *future* tile — is needed
+  only by the three south-moving planes {4,7,8}, fetched as three
+  Mosaic-pipelined (1, 8, nx) blocks containing it (single-row slices of
+  tiled fp32 are not DMA-able; 8 rows is the sublane granule).  Tile 0's
+  top halo is the periodic wrap row ny-1, read for planes {2,5,6} from
+  three constant-index 8-row operands that block-revisiting fetches only
+  once per step.  The wrap that cost the reference a 1500-line 9-way loop
+  peel (d2q9-bgk.c:262-1810) is a modular block index here.  Slimming the
+  halos to the planes that use them (round 2) cut the halo read traffic
+  3x and freed enough VMEM for ty=16 tiles at nx=4096 (previously ty=8,
+  which doubled read traffic and halved throughput);
 * x-axis periodic wrap is a lane rotate (pltpu.roll) in VMEM;
 * the acceleration row (global ny-2) is applied by the last program only
   (``pl.when``), as a masked in-place update of its VMEM input copy — for
@@ -69,18 +75,24 @@ def _pick_tile_rows(ny: int, nx: int = 1024) -> int | None:
     if override:
         ty = int(override)
         return ty if ny % ty == 0 and ty % 8 == 0 else None
-    # 2 buffers x (in + out) x 9 planes x ty x nx x 4B plus the 8-row
-    # halo/wrap operands must stay under the 16 MB VMEM.  Empirically a
-    # 2.25 MB block compiles for nx <= 2048 but is 420 KB over at nx=4096
-    # (the halo/wrap operands scale with nx too), hence the tighter cap
-    # there.  ty=64 measures ~3% faster than 32 at 1024^2 (less halo
-    # traffic), so prefer the largest fitting slab.
-    budget = 1_300_000 if nx >= 4096 else 2_400_000
-    budget_rows = max(8, (budget // (36 * nx)) // 8 * 8)
+    # VMEM: 2 buffers x (in + out) x 9 planes x ty x nx x 4B = 144*ty*nx,
+    # plus six double-buffered (1, 8, nx) halo/wrap blocks (384*nx), the
+    # int8 mask (2*ty*nx) and the parked-row scratch (12*nx).  ~12.5 MB of
+    # the 16 MB VMEM is usable in practice; this yields ty=64 at nx<=1024,
+    # 32 at 2048 and 16 at 4096 (measured: larger slabs win — less per-tile
+    # overhead and fewer redundant halo rows).
+    budget_rows = max(8, (12_500_000 // (146 * nx)) // 8 * 8)
     for ty in (64, 32, 16, 8):
         if ny % ty == 0 and ty <= budget_rows:
             return ty
     return None
+
+
+# planes that pull from the row below (need the parked/wrap top halo) and
+# from the row above (need the fetched bottom halo): lattice numbering
+# d2q9-bgk.c:7-13
+_NORTH = tuple(int(k) for k in np.flatnonzero(lattice.CY == 1))  # (2, 5, 6)
+_SOUTH = tuple(int(k) for k in np.flatnonzero(lattice.CY == -1))  # (4, 7, 8)
 
 
 def supported(ny: int | None = None, nx: int | None = None) -> bool:
@@ -97,21 +109,26 @@ def supported(ny: int | None = None, nx: int | None = None) -> bool:
 
 
 def _step_kernel(
-    f_ref, bot_ref, wrap_ref, obst_ref, out_ref, tot_ref, top_scr,
+    f_ref, bot4_ref, bot7_ref, bot8_ref, wrap2_ref, wrap5_ref, wrap6_ref,
+    obst_ref, out_ref, tot_ref, top_scr,
     *, params: LBMParams, ty: int, ny: int, nx: int,
 ):
     i = pl.program_id(0)
     w1 = params.accel_w1
     w2 = params.accel_w2
     zero = jnp.float32(0.0)
+    bot = dict(zip(_SOUTH, (bot4_ref, bot7_ref, bot8_ref)))
+    wrap = dict(zip(_NORTH, (wrap2_ref, wrap5_ref, wrap6_ref)))
+    scr_row = {k: r for r, k in enumerate(_NORTH)}
 
     # tile 0 has no predecessor to park its top halo: take the periodic
-    # wrap row ny-1 from the constant-index wrap operand (row 7 of the last
-    # 8-row block; fetched from HBM once per step thanks to revisiting)
+    # wrap row ny-1 from the constant-index wrap operands (row 7 of the
+    # last 8-row block; fetched from HBM once per step thanks to
+    # revisiting).  Only the north-moving planes pull from below.
     @pl.when(i == 0)
     def _load_wrap_row():
-        for k in range(lattice.NSPEEDS):
-            top_scr[k] = wrap_ref[k, 7:8, :]
+        for k in _NORTH:
+            top_scr[scr_row[k]] = wrap[k][0, 7:8, :]
 
     # compare in fp32 so the predicate inherits the (8,128) fp32 layout —
     # an int8-born i1 vector trips a Mosaic relayout ("replicated in
@@ -142,9 +159,11 @@ def _step_kernel(
     def stream(k: int) -> jax.Array:
         cy, cx = int(lattice.CY[k]), int(lattice.CX[k])
         if cy == 1:  # north-moving: pull from the row below (top halo)
-            rows = jnp.concatenate([top_scr[k], f_ref[k][: ty - 1]], axis=0)
+            rows = jnp.concatenate(
+                [top_scr[scr_row[k]], f_ref[k][: ty - 1]], axis=0
+            )
         elif cy == -1:  # south-moving: pull from the row above (bottom halo)
-            rows = jnp.concatenate([f_ref[k][1:], bot_ref[k, 0:1, :]], axis=0)
+            rows = jnp.concatenate([f_ref[k][1:], bot[k][0, 0:1, :]], axis=0)
         else:
             rows = f_ref[k]
         if cx:
@@ -159,8 +178,8 @@ def _step_kernel(
     # (pre-step values; the forcing row ny-2 is never a tile's last row.
     # The reads of top_scr in stream() trace before these writes, and the
     # grid is sequential, so ordering is safe.)
-    for k in range(lattice.NSPEEDS):
-        top_scr[k] = f_ref[k, ty - 1 : ty, :]
+    for k in _NORTH:
+        top_scr[scr_row[k]] = f_ref[k, ty - 1 : ty, :]
 
     # ---- BGK relax + bounce-back (shared routine; d2q9-bgk.c:1033-1100,
     # :971-981) ----
@@ -185,23 +204,31 @@ def _build_pallas_call(
     kernel = functools.partial(
         _step_kernel, params=params, ty=ty, ny=ny, nx=nx
     )
+    # bottom halo: the 8-row block holding global row (i+1)*ty mod ny —
+    # one (1, 8, nx) block per south-moving plane (the only consumers)
+    def _bot_spec(k):
+        return pl.BlockSpec(
+            (1, 8, nx),
+            lambda i, _k=k: (_k, (((i + 1) * ty) % ny) // 8, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    # wrap block (rows ny-8..ny-1), constant index => fetched once — one
+    # (1, 8, nx) block per north-moving plane
+    def _wrap_spec(k):
+        return pl.BlockSpec(
+            (1, 8, nx),
+            lambda i, _k=k: (_k, (ny - 8) // 8, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((9, ty, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            # bottom halo: the 8-row block holding global row (i+1)*ty mod ny
-            pl.BlockSpec(
-                (9, 8, nx),
-                lambda i: (0, (((i + 1) * ty) % ny) // 8, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            # wrap block (rows ny-8..ny-1), constant index => fetched once
-            pl.BlockSpec(
-                (9, 8, nx),
-                lambda i: (0, (ny - 8) // 8, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            *[_bot_spec(k) for k in _SOUTH],
+            *[_wrap_spec(k) for k in _NORTH],
             pl.BlockSpec((ty, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -213,7 +240,8 @@ def _build_pallas_call(
             jax.ShapeDtypeStruct((ny // ty, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((9, 1, nx), jnp.float32),  # parked top-halo row
+            # parked top-halo row, north-moving planes only (order: _NORTH)
+            pltpu.VMEM((3, 1, nx), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=int(120 * ny * nx),
@@ -249,7 +277,7 @@ def pallas_fused_step(
     if obstacles.dtype != MASK_DTYPE:
         obstacles = prepare_obstacles(obstacles)
     call = _build_pallas_call(params, ny, nx, ty, interpret)
-    f_next, tots = call(f, f, f, obstacles)
+    f_next, tots = call(f, f, f, f, f, f, f, obstacles)
     return f_next, jnp.sum(tots) / n_fluid
 
 

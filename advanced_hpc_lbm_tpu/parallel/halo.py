@@ -241,6 +241,83 @@ def _local_fused_step_2d(f, obstacles, row_mask, n_fluid, params, ay, ax):
     return f_next, av
 
 
+def _local_pallas_step_2d(
+    f, obstacles8, n_fluid, params, ay, ax, interpret
+):
+    """One 2-D-sharded step where the local block runs the Mosaic kernel
+    (ops.pallas_local.local_step_2d) — compute on-core, only edge rows and
+    columns on the wire.  Same two-phase corner-free exchange as the jnp
+    path: rows over the y ring first, then columns OF THE ROW-EXTENDED
+    edges over the x ring, which carries the diagonal corners for free."""
+    from advanced_hpc_lbm_tpu.ops import pallas_local
+    from advanced_hpc_lbm_tpu.ops.pallas_local import _XCOL_PLANES
+
+    ny_dev = jax.lax.psum(1, ay)
+    nx_dev = jax.lax.psum(1, ax)
+    fwd_y = [(j, (j + 1) % ny_dev) for j in range(ny_dev)]
+    bwd_y = [(j, (j - 1) % ny_dev) for j in range(ny_dev)]
+    fwd_x = [(j, (j + 1) % nx_dev) for j in range(nx_dev)]
+    bwd_x = [(j, (j - 1) % nx_dev) for j in range(nx_dev)]
+
+    ly = f.shape[1]
+    # phase 1: edge rows over the y ring (rows ny-1 and 0 — never the
+    # forcing row ny-2 since ly >= 8, so pre-forcing values are correct)
+    top = jax.lax.ppermute(f[:, -1:, :], ay, fwd_y)  # (9, 1, lx)
+    bot = jax.lax.ppermute(f[:, :1, :], ay, bwd_y)
+
+    # the forcing row (global ny-2) IS interior to one shard row, so the
+    # exported x-edge columns cross it: the x-neighbor pulls post-forcing
+    # values, apply the forcing to the edge columns before export (the
+    # local block gets it in-kernel).  The halo corner rows (lo-1, lo+ly)
+    # can't be ny-2 either, so only the local span needs it.
+    d = jax.lax.axis_index(ay)
+    lo = d * ly
+    global_accel = ny_dev * ly - 2
+    row_mask_local = (jnp.arange(ly) + lo) == global_accel  # (ly,)
+    obst_bool = obstacles8 != 0
+
+    def forced_edge_col(x_slice):
+        col = _masked_accelerate(
+            f[:, :, x_slice], obst_bool[:, x_slice], row_mask_local,
+            params.accel_w1, params.accel_w2,
+        )  # (9, ly, 1)
+        return col
+
+    # phase 2: row-extended edge COLUMNS over the x ring (corner-carrying)
+    right_edge = jnp.concatenate(
+        [top[:, :, -1:], forced_edge_col(slice(-1, None)), bot[:, :, -1:]],
+        axis=1,
+    )  # (9, ly+2, 1) — this shard's rightmost column, row-extended
+    left_edge = jnp.concatenate(
+        [top[:, :, :1], forced_edge_col(slice(0, 1)), bot[:, :, :1]], axis=1
+    )
+    left_halo = jax.lax.ppermute(right_edge, ax, fwd_x)  # from x-neighbor left
+    right_halo = jax.lax.ppermute(left_edge, ax, bwd_x)
+
+    # pre-shift per consuming plane: plane k (cy, cx) pulls its x-edge
+    # value from row range [1-cy, 1-cy+ly) of the extended halo column
+    cols = []
+    for k in _XCOL_PLANES:
+        cy, cx = int(lattice.CY[k]), int(lattice.CX[k])
+        src = left_halo if cx == 1 else right_halo
+        cols.append(jax.lax.slice_in_dim(src[k], 1 - cy, 1 - cy + ly, axis=0))
+    halo_cols = jnp.stack(cols)  # (6, ly, 1)
+
+    # local index of the forcing row (global ny-2), or -1 off-shard
+    accel_local = jnp.where(
+        (global_accel >= lo) & (global_accel < lo + ly),
+        global_accel - lo,
+        -1,
+    ).astype(jnp.int32)
+
+    f_next, tot_local = pallas_local.local_step_2d(
+        f, top, bot, halo_cols, obstacles8, accel_local, params,
+        interpret=interpret,
+    )
+    av = jax.lax.psum(jax.lax.psum(tot_local, ay), ax) / n_fluid
+    return f_next, av
+
+
 def run_sharded_2d(
     f0: jax.Array,
     obstacles: jax.Array,
@@ -248,9 +325,13 @@ def run_sharded_2d(
     mesh_shape: tuple[int, int],
     *,
     n_iters: int | None = None,
+    kernel: str = "jnp",
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Full loop on a (my, mx) torus: rows AND columns sharded.
 
+    ``kernel``: "jnp" (XLA-fused local step) or "pallas" (per-shard Mosaic
+    kernel — the TPU production path, ops.pallas_local.local_step_2d).
     Note: this path computes the reduction from pre-collision moments
     (like the kernels; identical up to ~1e-7 fp noise — DESIGN.md)."""
     iters = params.max_iters if n_iters is None else n_iters
@@ -269,10 +350,18 @@ def run_sharded_2d(
     row_spec = P("y")
 
     def whole_run(f, obst, rmask, nf):
-        def body(carry_f, _):
-            return _local_fused_step_2d(
-                carry_f, obst, rmask, nf, params, "y", "x"
-            )
+        if kernel == "pallas":
+            obst8 = obst.astype(jnp.int8)
+
+            def body(carry_f, _):
+                return _local_pallas_step_2d(
+                    carry_f, obst8, nf, params, "y", "x", interpret
+                )
+        else:
+            def body(carry_f, _):
+                return _local_fused_step_2d(
+                    carry_f, obst, rmask, nf, params, "y", "x"
+                )
 
         return jax.lax.scan(body, f, None, length=iters)
 
@@ -281,6 +370,7 @@ def run_sharded_2d(
         mesh=mesh,
         in_specs=(f_spec, grid_spec, row_spec, P()),
         out_specs=(f_spec, P()),
+        check_vma=(kernel != "pallas"),
     )
     runner = jax.jit(mapped, donate_argnums=0)
     f0 = jax.device_put(f0, NamedSharding(mesh, f_spec))

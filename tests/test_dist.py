@@ -151,3 +151,32 @@ def test_driver_dryrun_contract():
         cwd=repo, capture_output=True, text=True, timeout=600,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (2, 4), (4, 2)])
+def test_2d_pallas_kernel_matches(mesh_shape):
+    """2-D torus with the Mosaic local kernel per shard (interpret mode):
+    rows AND columns sharded, x edges spliced from pre-shifted halo
+    columns, corners carried by the two-phase exchange."""
+    my, mx = mesh_shape
+    params = LBMParams(
+        nx=128 * mx, ny=16 * my, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    rng = np.random.RandomState(13)
+    mask = np.zeros((params.ny, params.nx), dtype=bool)
+    mask[0] = mask[-1] = True
+    mask[params.ny // 2 - 2 : params.ny // 2, 40:80] = True
+    for _ in range(8):
+        mask[rng.randint(1, params.ny - 1), rng.randint(0, params.nx)] = True
+    obst = jnp.asarray(mask)
+    f0 = reference.initial_state(params)
+    fa, ava = fused.run_simulation(f0, obst, params, n_iters=8)
+    fb, avb = halo.run_sharded_2d(
+        reference.initial_state(params), obst, params, mesh_shape,
+        n_iters=8, kernel="pallas", interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)

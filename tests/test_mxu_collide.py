@@ -67,3 +67,27 @@ def test_mass_momentum_conserved():
     np.testing.assert_allclose(
         (lattice.CY[:, None] * a_lin).sum(axis=0), lattice.CY, atol=1e-12
     )
+
+
+def test_in_kernel_path_matches_vpu_kernel():
+    """The in-kernel MXU formulation (the exact kernel the decision
+    benchmark scripts/mxu_inkernel_bench.py times) must track the VPU
+    collide kernel trajectory in interpret mode."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "scripts"))
+    try:
+        import mxu_inkernel_bench as mib
+    finally:
+        sys.path.pop(0)
+
+    f0 = np.asarray(reference.initial_state(mib.PARAMS))
+    rng = np.random.RandomState(3)
+    f0 = (f0 * (1.0 + 0.01 * rng.standard_normal(f0.shape))).astype(np.float32)
+
+    va = np.asarray(mib.build("vpu", 4, interpret=True)(jnp.asarray(f0)))
+    vb = np.asarray(
+        mib.build("mxu", 4, interpret=True)(jnp.asarray(f0.reshape(9, -1)))
+    ).reshape(f0.shape)
+    np.testing.assert_allclose(vb, va, rtol=2e-5, atol=2e-7)
