@@ -6,7 +6,8 @@ runs the deck, prints the ``==done==`` / Reynolds / four-timer block
 (:216-221), and writes final_state.dat + av_vels.dat in the cwd.
 
 Extensions beyond the reference (all optional flags):
-  --backend   auto (default) | fused | pallas | resident | pipeline | sharded
+  --backend   auto (default) | fused | pallas | pallas2 | pallask |
+              resident | pipeline | sharded
   --debug     per-step av-velocity + total-density prints (the reference's
               #ifdef DEBUG build, d2q9-bgk.c:196-200)
   --profile   capture a jax.profiler trace of the compute phase
@@ -36,7 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--backend",
         default="auto",
         choices=[
-            "auto", "fused", "pallas", "pallas2", "resident", "pipeline", "sharded",
+            "auto", "fused", "pallas", "pallas2", "pallask", "resident", "pipeline",
+            "sharded",
         ],
         help="auto picks resident (small grids, TPU) > pallas (TPU) > fused",
     )

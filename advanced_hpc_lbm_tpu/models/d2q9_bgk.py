@@ -23,7 +23,8 @@ from advanced_hpc_lbm_tpu.params import LBMParams
 from advanced_hpc_lbm_tpu.utils import io as lbm_io
 
 Backend = Literal[
-    "auto", "fused", "pallas", "pallas2", "resident", "sharded", "pipeline"
+    "auto", "fused", "pallas", "pallas2", "pallask", "resident", "sharded",
+    "pipeline",
 ]
 
 
@@ -110,22 +111,28 @@ class Simulation:
 
     def _resolve_backend(self, backend: Backend):
         if backend == "auto":
-            # fastest applicable path: VMEM-resident whole-run kernel for
-            # small grids, 2-step Pallas kernel for large TPU grids,
-            # per-step Pallas next, XLA-fused jnp otherwise
-            # measured: the step is VPU-bound at large grids, so the 1-step
-            # kernel matches the 2-step one and is simpler — prefer it;
-            # pallas2 remains selectable explicitly (DESIGN.md)
-            from advanced_hpc_lbm_tpu.ops import pallas_step, resident
+            # fastest applicable path (all measured, BENCH.md): VMEM-
+            # resident whole-run kernel for small grids; K-step ghost-zone
+            # kernel where the device is DMA-bound (> 1024^2 — it cuts
+            # HBM traffic ~K-fold); 1-step Pallas kernel at <= 1024^2
+            # (already at the traffic floor there, K > 1 just adds VPU
+            # work); XLA-fused jnp otherwise
+            from advanced_hpc_lbm_tpu.ops import pallas_k, pallas_step, resident
 
             ny, nx = self.params.ny, self.params.nx
             if resident.supported(ny, nx):
                 self.backend = backend = "resident"
+            elif (
+                ny * nx > 1024 * 1024
+                and pallas_step.supported(ny, nx)
+                and pallas_k.best_k(ny, nx) is not None
+            ):
+                self.backend = backend = "pallask"
             elif pallas_step.supported(ny, nx):
                 self.backend = backend = "pallas"
             else:
                 self.backend = backend = "fused"
-        if backend in ("resident", "pallas2"):
+        if backend in ("resident", "pallas2", "pallask"):
             return None  # whole-run paths, resolved in run()
         if backend == "fused":
             return fused.fused_step
@@ -166,10 +173,25 @@ class Simulation:
                 lambda f, o: pallas_multi.run(f, o, self.params, n_iters=iters),
                 donate_argnums=0,
             )
+        if self.backend == "pallask" and not debug:
+            from advanced_hpc_lbm_tpu.ops import pallas_k
+
+            k = pallas_k.best_k(self.params.ny, self.params.nx)
+            if k is None:
+                raise ValueError(
+                    f"grid {self.params.ny}x{self.params.nx} not tileable "
+                    "for the K-step kernel; use 'pallas'"
+                )
+            return jax.jit(
+                lambda f, o: pallas_k.run(
+                    f, o, self.params, n_iters=iters, k=k
+                ),
+                donate_argnums=0,
+            )
         # debug mode needs per-step host data; whole-run kernels fall back
         step_fn = (
             fused.fused_step
-            if self.backend in ("resident", "pallas2")
+            if self.backend in ("resident", "pallas2", "pallask")
             else self._step_fn
         )
         return jax.jit(

@@ -45,7 +45,7 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--backend",
         default="best",
-        choices=["best", "fused", "pallas", "pallas2", "resident"],
+        choices=["best", "fused", "pallas", "pallas2", "pallask", "resident"],
     )
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument(
@@ -71,10 +71,16 @@ def main(argv=None) -> int:
     backend = args.backend
     if backend == "best":
         try:
-            from advanced_hpc_lbm_tpu.ops import pallas_step, resident
+            from advanced_hpc_lbm_tpu.ops import pallas_k, pallas_step, resident
 
             if resident.supported(ny, nx):
                 backend = "resident"
+            elif (
+                ny * nx > 1024 * 1024
+                and pallas_step.supported(ny, nx)
+                and pallas_k.best_k(ny, nx) is not None
+            ):
+                backend = "pallask"
             elif pallas_step.supported(ny, nx):
                 backend = "pallas"
             else:
@@ -90,7 +96,13 @@ def main(argv=None) -> int:
                 f, o, params, n_iters=n
             )
         )
+    elif backend == "pallask":
+        from advanced_hpc_lbm_tpu.ops import pallas_k
 
+        kk = pallas_k.best_k(ny, nx)
+        runner = jax.jit(
+            lambda f, o, n=args.iters: pallas_k.run(f, o, params, n_iters=n, k=kk)
+        )
     elif backend == "pallas2":
         from advanced_hpc_lbm_tpu.ops import pallas_multi
 
