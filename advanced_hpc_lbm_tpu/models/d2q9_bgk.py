@@ -226,7 +226,14 @@ class Simulation:
             (9, self.params.ny, self.params.nx), jnp.float32
         )
         o_s = jax.ShapeDtypeStruct((self.params.ny, self.params.nx), jnp.bool_)
-        self._compiled[key] = runner.lower(f_s, o_s).compile()
+        compiled = runner.lower(f_s, o_s).compile()
+        # execute once on throwaway inputs: the first device execution in
+        # a process pays a large one-time load/attach cost (measured:
+        # 35-160 s through the device tunnel, independent of the AOT
+        # compile) — absorb it here so Compute stays pure compute
+        out = compiled(self.initial_state(), jnp.asarray(self.obstacles))
+        jax.block_until_ready(out)
+        self._compiled[key] = compiled
 
     def run(
         self,

@@ -52,6 +52,8 @@ def main(argv=None) -> int:
 
     # variance capture: the same deck N times in one process (executable
     # stays warm after run 1 — matching the cluster's repeated-job setup)
+    if args.variance_runs <= 0:
+        return 0
     deck = "1024x1024"
     var_path = os.path.join(args.out, f"lbm_tpu_{deck}_array.out")
     with open(var_path, "w") as fh:
