@@ -227,12 +227,14 @@ class Simulation:
         )
         o_s = jax.ShapeDtypeStruct((self.params.ny, self.params.nx), jnp.bool_)
         compiled = runner.lower(f_s, o_s).compile()
-        # execute once on throwaway inputs: the first device execution in
-        # a process pays a large one-time load/attach cost (measured:
-        # 35-160 s through the device tunnel, independent of the AOT
-        # compile) — absorb it here so Compute stays pure compute
+        # execute once on throwaway inputs AND pull the results to host:
+        # the first device->host transfer in a process pays a large
+        # one-time path-establishment cost through the device tunnel
+        # (measured: 10-160 s, independent of the AOT compile and of
+        # block_until_ready) — absorb both here so Compute stays pure
+        # compute
         out = compiled(self.initial_state(), jnp.asarray(self.obstacles))
-        jax.block_until_ready(out)
+        jax.tree.map(np.asarray, out)
         self._compiled[key] = compiled
 
     def run(

@@ -107,12 +107,55 @@ def run_simulation(
     if prepare is not None:
         obstacles = prepare(obstacles)
 
-    def body(f, _):
+    def one(f):
         f_next, av = step_fn(f, obstacles, n_fluid, params)
         out = (av, reference.total_density(f_next)) if collect_density else av
         return f_next, out
 
-    f_final, outs = jax.lax.scan(body, f0, None, length=iters)
+    if not getattr(step_fn, "opaque_custom_call", False):
+        # pure-HLO step: single-call body (XLA handles the carry without a
+        # materialized copy here, and a paired body would let per-step
+        # fusion depend on pair position — breaking the bit-exact
+        # checkpoint-restart contract on the jnp path)
+        def body(f, _):
+            return one(f)
+
+        f_final, outs = jax.lax.scan(body, f0, None, length=iters)
+        if collect_density:
+            return f_final, outs[0], outs[1]
+        return f_final, outs
+
+    # Opaque custom-call step (the Pallas kernel): TWO steps per scan
+    # iteration.  With a single call per iteration the loop-carry slot
+    # must be updated in place, which XLA can only arrange for an opaque
+    # call by inserting a FULL-STATE copy into the body — measured as
+    # +36 B/cell/step of pure waste (copy.15 in the 1024^2 trace,
+    # runs/trace_1024_summary.md).  A two-call ping-pong body needs no
+    # in-place reuse: call 1 writes a body-local temp, call 2 writes the
+    # carry slot.  The f trajectory stays bitwise stable because the
+    # kernel itself is opaque to XLA's fuser.
+    def body(f, _):
+        f_mid, out1 = one(f)
+        f_next, out2 = one(f_mid)
+        return f_next, (out1, out2)
+
+    f_final, (outs_a, outs_b) = jax.lax.scan(body, f0, None, length=iters // 2)
+
+    def interleave(a, b, tail=None):
+        seq = jnp.stack([a, b], axis=1).reshape(-1)
+        return seq if tail is None else jnp.concatenate([seq, tail[None]])
+
+    out_last = None
+    if iters % 2:
+        f_final, out_last = one(f_final)
+
     if collect_density:
-        return f_final, outs[0], outs[1]
-    return f_final, outs
+        av_a, dens_a = outs_a
+        av_b, dens_b = outs_b
+        av_l, dens_l = out_last if out_last is not None else (None, None)
+        return (
+            f_final,
+            interleave(av_a, av_b, av_l),
+            interleave(dens_a, dens_b, dens_l),
+        )
+    return f_final, interleave(outs_a, outs_b, out_last)

@@ -275,17 +275,27 @@ def run(
     n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
     obst_f = prepare_obstacles(obstacles)
 
-    def body(f, _):
-        f2, av_k = multi_step(f, obst_f, n_fluid, params, k,
-                              interpret=interpret)
-        return f2, av_k
+    def one(f):
+        return multi_step(f, obst_f, n_fluid, params, k, interpret=interpret)
 
-    f, av_chunks = jax.lax.scan(body, f0, None, length=iters // k)
+    # two kernel calls per scan iteration so the loop carry needs no
+    # in-place custom-call update — with one call per iteration XLA
+    # inserts a full-state copy into the body (see ops.fused.run_simulation)
+    def body(f, _):
+        f1, av1 = one(f)
+        f2, av2 = one(f1)
+        return f2, jnp.concatenate([av1, av2])
+
+    f, av_chunks = jax.lax.scan(body, f0, None, length=iters // (2 * k))
     av = av_chunks.reshape(-1)
-    tail = iters % k
-    if tail:
+    done = (iters // (2 * k)) * 2 * k
+    if iters - done >= k:
+        f, av_mid = one(f)
+        av = jnp.concatenate([av, av_mid])
+        done += k
+    if iters - done:
         obst8 = pallas_step.prepare_obstacles(obstacles)
-        for _ in range(tail):
+        for _ in range(iters - done):
             f, av_last = pallas_step.pallas_fused_step(
                 f, obst8, n_fluid, params, interpret=interpret
             )

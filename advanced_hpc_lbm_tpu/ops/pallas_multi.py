@@ -243,14 +243,22 @@ def run(
     n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
     obst_f = prepare_obstacles(obstacles)
 
+    # two kernel calls per scan iteration (copy-free carry — see
+    # ops.fused.run_simulation's paired body)
     def body(f, _):
         f2, av1, av2 = double_step(
             f, obst_f, n_fluid, params, interpret=interpret
         )
-        return f2, jnp.stack([av1, av2])
+        f4, av3, av4 = double_step(
+            f2, obst_f, n_fluid, params, interpret=interpret
+        )
+        return f4, jnp.stack([av1, av2, av3, av4])
 
-    f, av_pairs = jax.lax.scan(body, f0, None, length=iters // 2)
-    av = av_pairs.reshape(-1)
+    f, av_quads = jax.lax.scan(body, f0, None, length=iters // 4)
+    av = av_quads.reshape(-1)
+    if (iters % 4) >= 2:
+        f, av1, av2 = double_step(f, obst_f, n_fluid, params, interpret=interpret)
+        av = jnp.concatenate([av, jnp.stack([av1, av2])])
     if iters % 2:
         obst8 = pallas_step.prepare_obstacles(obstacles)
         f, av_last = pallas_step.pallas_fused_step(

@@ -282,3 +282,5 @@ def pallas_fused_step(
 
 
 pallas_fused_step.prepare_obstacles = prepare_obstacles
+# signals ops.fused.run_simulation to use the copy-free paired scan body
+pallas_fused_step.opaque_custom_call = True

@@ -166,15 +166,30 @@ def make_sharded_runner(
 
             obstacles8 = obstacles.astype(jnp.int8)
 
-            def body(carry_f, _):
+            def one(carry_f):
                 return _local_pallas_step(
                     carry_f, obstacles8, n_fluid, params, axis, interpret
                 )
-        else:
+
+            # two steps per scan iteration: the opaque local kernel would
+            # otherwise force XLA to copy the full local state every step
+            # to update the carry in place (see ops.fused.run_simulation)
             def body(carry_f, _):
-                return _local_fused_step(
-                    carry_f, obstacles, row_mask, n_fluid, params, axis
-                )
+                f1, av1 = one(carry_f)
+                f2, av2 = one(f1)
+                return f2, jnp.stack([av1, av2])
+
+            f, av_pairs = jax.lax.scan(body, f, None, length=n_iters // 2)
+            avs = av_pairs.reshape(-1)
+            if n_iters % 2:
+                f, av_last = one(f)
+                avs = jnp.concatenate([avs, av_last[None]])
+            return f, avs
+
+        def body(carry_f, _):
+            return _local_fused_step(
+                carry_f, obstacles, row_mask, n_fluid, params, axis
+            )
 
         return jax.lax.scan(body, f, None, length=n_iters)
 
@@ -353,15 +368,28 @@ def run_sharded_2d(
         if kernel == "pallas":
             obst8 = obst.astype(jnp.int8)
 
-            def body(carry_f, _):
+            def one(carry_f):
                 return _local_pallas_step_2d(
                     carry_f, obst8, nf, params, "y", "x", interpret
                 )
-        else:
+
+            # paired body — copy-free carry, see make_sharded_runner
             def body(carry_f, _):
-                return _local_fused_step_2d(
-                    carry_f, obst, rmask, nf, params, "y", "x"
-                )
+                f1, av1 = one(carry_f)
+                f2, av2 = one(f1)
+                return f2, jnp.stack([av1, av2])
+
+            f, av_pairs = jax.lax.scan(body, f, None, length=iters // 2)
+            avs = av_pairs.reshape(-1)
+            if iters % 2:
+                f, av_last = one(f)
+                avs = jnp.concatenate([avs, av_last[None]])
+            return f, avs
+
+        def body(carry_f, _):
+            return _local_fused_step_2d(
+                carry_f, obst, rmask, nf, params, "y", "x"
+            )
 
         return jax.lax.scan(body, f, None, length=iters)
 

@@ -60,24 +60,41 @@ def main() -> int:
     assert traces, "no trace captured"
     with gzip.open(traces[-1], "rt") as fh:
         data = json.load(fh)
+    events = data.get("traceEvents", [])
+    # the device plane: process named "/device:TPU:0", thread "XLA Ops"
+    dev_pid = next(
+        ev["pid"] for ev in events
+        if ev.get("ph") == "M" and ev.get("name") == "process_name"
+        and "TPU" in ev.get("args", {}).get("name", "")
+    )
+    ops_tid = next(
+        ev["tid"] for ev in events
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name"
+        and ev.get("pid") == dev_pid
+        and ev.get("args", {}).get("name") == "XLA Ops"
+    )
     durs = collections.defaultdict(float)
     counts = collections.defaultdict(int)
-    for ev in data.get("traceEvents", []):
-        if ev.get("ph") == "X" and "dur" in ev:
+    for ev in events:
+        if (
+            ev.get("ph") == "X" and "dur" in ev
+            and ev.get("pid") == dev_pid and ev.get("tid") == ops_tid
+        ):
             name = ev.get("name", "?")
             durs[name] += ev["dur"]
             counts[name] += 1
     rows = sorted(durs.items(), key=lambda kv: -kv[1])
     total = sum(durs.values())
     lines = [
-        "# Flat profile — 1024x1024, 50 warm pallas steps "
-        "(jax.profiler trace, all threads)",
+        f"# Flat device profile — 1024x1024, {STEPS} warm pallas steps "
+        "(jax.profiler trace, /device:TPU:0 'XLA Ops' plane)",
         "",
-        f"Trace: `{traces[-1]}`  (total event time {total/1e3:.1f} ms; "
-        "device + host threads overlap, so percentages are of summed "
-        "event time, the gprof-style view)",
+        f"Trace: `{traces[-1]}`  — the TPU analogue of the reference's "
+        "gprof flat profiles (profile.txt / profile1.txt) and Advisor "
+        f"survey (e000/).  Total device op time {total/1e3:.2f} ms for "
+        f"{STEPS} steps.",
         "",
-        "| op | calls | total ms | % | per-call us |",
+        "| device op | calls | total ms | % | per-call us |",
         "|---|---|---|---|---|",
     ]
     for name, d in rows[:15]:
