@@ -18,6 +18,8 @@ so there is exactly one compiled program and zero host round-trips.
 
 Variants: ``kernel="pallas"`` runs the Mosaic local kernel per shard
 (ops.pallas_local — compute on-core, only boundary rows on the wire);
+``ca_steps=K`` exchanges K halo rows at once and advances K steps per
+exchange (communication-avoiding ghost zones — K× fewer ring latencies);
 ``run_sharded_2d`` shards rows AND columns over a (my, mx) torus with a
 two-phase exchange that carries the diagonal-speed corners for free.
 """
@@ -108,6 +110,68 @@ def _local_fused_step(f, obstacles, row_mask, n_fluid, params, axis: str):
     return f_next, av
 
 
+def _local_fused_ca_steps(
+    f, obst_ext, row_is_accel_ext, n_fluid, params, axis: str, k: int
+):
+    """K steps per halo exchange — communication-avoiding ghost zones.
+
+    One ring exchange ships K boundary rows each way; the shard then
+    advances K steps on the ±K-extended window, shrinking it one row per
+    side per step (the multi-chip analogue of ops.pallas_k's time tiling:
+    seam rows are recomputed by both neighbors, 2K/ly extra compute, in
+    exchange for K× fewer `ppermute` latencies on the wire).
+
+    ``obst_ext`` / ``row_is_accel_ext`` are the (ly+2K,)-extended mask and
+    forcing-row mask, precomputed once per run (masks are loop-invariant,
+    so their halos never need re-exchanging).
+    """
+    n = jax.lax.psum(1, axis)
+    fwd = [(j, (j + 1) % n) for j in range(n)]
+    bwd = [(j, (j - 1) % n) for j in range(n)]
+
+    ly = f.shape[1]
+    top_halo = jax.lax.ppermute(f[:, -k:, :], axis, fwd)  # rows lo-K..lo-1
+    bot_halo = jax.lax.ppermute(f[:, :k, :], axis, bwd)  # rows lo+ly..+K-1
+    w = jnp.concatenate([top_halo, f, bot_halo], axis=1)  # (9, ly+2K, nx)
+
+    from advanced_hpc_lbm_tpu.ops import kernel_common
+
+    avs = []
+    for s in range(k):
+        depth = k - s
+        rows = ly + 2 * depth
+        off = k - depth  # current window starts at extended row `off`
+        obst_w = jax.lax.slice_in_dim(obst_ext, off, off + rows, axis=0)
+        accel_w = jax.lax.slice_in_dim(
+            row_is_accel_ext, off, off + rows, axis=0
+        )
+        w = kernel_common.forced(
+            [w[kk] for kk in range(lattice.NSPEEDS)],
+            obst_w,
+            accel_w[:, None],
+            params,
+        )
+        streamed = []
+        for kk in range(lattice.NSPEEDS):
+            cy, cx = int(lattice.CY[kk]), int(lattice.CX[kk])
+            plane = jax.lax.slice_in_dim(
+                w[kk], 1 - cy, 1 - cy + rows - 2, axis=0
+            )
+            if cx:
+                plane = jnp.roll(plane, cx, axis=1)
+            streamed.append(plane)
+        obst_in = jax.lax.slice_in_dim(obst_ext, off + 1, off + rows - 1, axis=0)
+        out_planes, u_sq = kernel_common.collide(streamed, obst_in, params)
+        w = jnp.stack(out_planes)
+        # reduction over the shard's own rows (offset depth-1 in the
+        # post-step window) from the pre-collision moments
+        own_usq = jax.lax.slice_in_dim(u_sq, depth - 1, depth - 1 + ly, axis=0)
+        own_obst = jax.lax.slice_in_dim(obst_ext, k, k + ly, axis=0)
+        tot = jnp.sum(jnp.where(own_obst, 0.0, jnp.sqrt(own_usq)))
+        avs.append(jax.lax.psum(tot, axis) / n_fluid)
+    return w, jnp.stack(avs)
+
+
 def _local_pallas_step(f, obstacles8, n_fluid, params, axis: str, interpret):
     """One step where the local slab runs the Mosaic kernel
     (ops.pallas_local) and only the two boundary rows ride the ring —
@@ -149,13 +213,19 @@ def make_sharded_runner(
     axis: str = "y",
     kernel: str = "jnp",
     interpret: bool = False,
+    ca_steps: int = 1,
 ):
     """Build the jitted sharded main loop for a given mesh + deck shape.
 
     ``kernel``: "jnp" (XLA-fused local step, runs anywhere) or "pallas"
     (ops.pallas_local Mosaic kernel per shard — the TPU production path).
+    ``ca_steps`` > 1 (jnp kernel only) runs K steps per halo exchange via
+    communication-avoiding ghost zones — K× fewer ring latencies for
+    2K/ly extra seam compute (_local_fused_ca_steps).
     Returns (runner, shardings) where runner(f0, obstacles, row_mask,
     n_fluid) -> (f_final, av_vels)."""
+    if ca_steps > 1 and kernel != "jnp":
+        raise ValueError("ca_steps > 1 is supported on the jnp kernel only")
     f_spec = P(None, axis, None)
     grid_spec = P(axis, None)
     row_spec = P(axis)
@@ -183,6 +253,37 @@ def make_sharded_runner(
             avs = av_pairs.reshape(-1)
             if n_iters % 2:
                 f, av_last = one(f)
+                avs = jnp.concatenate([avs, av_last[None]])
+            return f, avs
+
+        if ca_steps > 1:
+            k = ca_steps
+            n = jax.lax.psum(1, axis)
+            fwd = [(j, (j + 1) % n) for j in range(n)]
+            bwd = [(j, (j - 1) % n) for j in range(n)]
+            # masks are loop-invariant: extend them by K halo rows ONCE
+            obst_ext = jnp.concatenate([
+                jax.lax.ppermute(obstacles[-k:], axis, fwd),
+                obstacles,
+                jax.lax.ppermute(obstacles[:k], axis, bwd),
+            ], axis=0)
+            row_ext = jnp.concatenate([
+                jax.lax.ppermute(row_mask[-k:], axis, fwd),
+                row_mask,
+                jax.lax.ppermute(row_mask[:k], axis, bwd),
+            ], axis=0)
+
+            def body_ca(carry_f, _):
+                return _local_fused_ca_steps(
+                    carry_f, obst_ext, row_ext, n_fluid, params, axis, k
+                )
+
+            f, av_chunks = jax.lax.scan(body_ca, f, None, length=n_iters // k)
+            avs = av_chunks.reshape(-1)
+            for _ in range(n_iters % k):
+                f, av_last = _local_fused_step(
+                    f, obstacles, row_mask, n_fluid, params, axis
+                )
                 avs = jnp.concatenate([avs, av_last[None]])
             return f, avs
 
@@ -417,21 +518,29 @@ def run_sharded(
     n_devices: int | None = None,
     kernel: str = "jnp",
     interpret: bool = False,
+    ca_steps: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Execute the full loop sharded along y. Drop-in replacement for
     ops.fused.run_simulation (same outputs, same numerics up to fp
     reduction order).  kernel="pallas" runs the Mosaic local kernel per
-    shard (TPU production path)."""
+    shard (TPU production path); ca_steps=K > 1 exchanges halos every K
+    steps (communication-avoiding ghost zones, jnp kernel)."""
     iters = params.max_iters if n_iters is None else n_iters
     mesh = make_y_mesh(n_devices)
     n = mesh.devices.size
     if params.ny % n:
         raise ValueError(f"ny={params.ny} not divisible by {n} devices")
+    if ca_steps > 1 and params.ny // n < 2 * ca_steps:
+        raise ValueError(
+            f"local slab ny/n={params.ny // n} too thin for "
+            f"ca_steps={ca_steps} ghost zones"
+        )
 
     row_mask = jnp.zeros(params.ny, bool).at[params.ny - 2].set(True)
     n_fluid = jnp.sum(~obstacles).astype(jnp.float32)
     runner, sh = make_sharded_runner(
-        mesh, params, iters, kernel=kernel, interpret=interpret
+        mesh, params, iters, kernel=kernel, interpret=interpret,
+        ca_steps=ca_steps,
     )
 
     f0 = jax.device_put(f0, sh["f"])

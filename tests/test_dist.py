@@ -180,3 +180,32 @@ def test_2d_pallas_kernel_matches(mesh_shape):
         np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
     )
     np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
+
+
+@pytest.mark.parametrize("n_devices,k", [(2, 2), (4, 4), (8, 3)])
+def test_comm_avoiding_matches_single(deck, n_devices, k):
+    """K steps per halo exchange (communication-avoiding ghost zones):
+    the ring ships K rows once, each shard runs K shrinking-window steps.
+    Must reproduce the single-device trajectory incl. a non-multiple tail."""
+    params, mask = deck
+    obst = jnp.asarray(mask)
+    n_iters = 2 * k + 1  # exercises the tail path too
+    f0 = reference.initial_state(params)
+    fa, ava = fused.run_simulation(f0, obst, params, n_iters=n_iters)
+    fb, avb = halo.run_sharded(
+        reference.initial_state(params), obst, params,
+        n_iters=n_iters, n_devices=n_devices, ca_steps=k,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
+
+
+def test_comm_avoiding_rejects_thin_slabs(deck):
+    params, mask = deck
+    f0 = reference.initial_state(params)
+    with pytest.raises(ValueError, match="too thin"):
+        halo.run_sharded(
+            f0, jnp.asarray(mask), params, n_devices=8, ca_steps=8
+        )
