@@ -64,10 +64,24 @@ def build_parser() -> argparse.ArgumentParser:
         "--shard-kernel", default="jnp", choices=["jnp", "pallas"],
         help="local-step implementation for --backend sharded",
     )
+    p.add_argument(
+        "--mesh", default=None, metavar="MYxMX",
+        help="2-D torus decomposition for --backend sharded, e.g. 2x4 "
+             "(rows x columns of devices)",
+    )
+    p.add_argument(
+        "--ca-steps", type=int, default=1, metavar="K",
+        help="steps per halo exchange on the sharded 1-D ring "
+             "(communication-avoiding ghost zones; jnp kernel only)",
+    )
     return p
 
 
 def _run_sim(sim: Simulation, args):
+    mesh = None
+    if args.mesh:
+        my, mx = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = (my, mx)
     return sim.run(
         n_iters=args.iters,
         debug=args.debug,
@@ -77,6 +91,8 @@ def _run_sim(sim: Simulation, args):
         resume=args.resume,
         check_finite=args.check_finite,
         shard_kernel=args.shard_kernel,
+        mesh=mesh,
+        ca_steps=args.ca_steps,
     )
 
 
@@ -102,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
         # Mosaic/XLA compiles
         if not (
             args.devices
+            or args.mesh
             or args.checkpoint_every
             or args.resume
             or args.backend == "sharded"

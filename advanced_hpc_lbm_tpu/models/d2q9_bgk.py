@@ -248,17 +248,25 @@ class Simulation:
         resume: bool = False,
         check_finite: bool = False,
         shard_kernel: str = "jnp",
+        mesh: tuple[int, int] | None = None,
+        ca_steps: int = 1,
     ) -> SimulationResult:
         """Execute the main loop fully on-device and fetch results.
 
         ``debug`` also collects per-step total densities (the reference's
         #ifdef DEBUG stream, d2q9-bgk.c:196-200).  ``devices`` > 1 selects
-        the sharded path over a 1-D y mesh (parallel/halo.py).
+        the sharded path over a 1-D y mesh (parallel/halo.py); ``mesh`` =
+        (my, mx) selects the 2-D torus; ``ca_steps`` = K exchanges halos
+        every K steps (communication-avoiding ghost zones, 1-D jnp path).
         ``checkpoint_every`` snapshots the distribution array every N steps
         (utils/checkpoint.py); ``resume`` restarts from the latest snapshot.
         """
         iters = self.params.max_iters if n_iters is None else n_iters
-        sharded = self.backend == "sharded" or (devices is not None and devices > 1)
+        sharded = (
+            self.backend == "sharded"
+            or (devices is not None and devices > 1)
+            or mesh is not None
+        )
         if sharded and debug:
             raise ValueError(
                 "debug density collection needs per-step host data and is "
@@ -268,6 +276,7 @@ class Simulation:
             result = self._run_checkpointed(
                 iters, checkpoint_every or iters, checkpoint_dir, resume,
                 debug=debug, devices=devices, shard_kernel=shard_kernel,
+                mesh=mesh, ca_steps=ca_steps,
             )
             if check_finite:
                 self._assert_finite(result)
@@ -278,10 +287,17 @@ class Simulation:
         if sharded:
             from advanced_hpc_lbm_tpu.parallel import halo
 
-            f_final, av_vels = halo.run_sharded(
-                f0, obstacles, self.params, n_iters=iters, n_devices=devices,
-                kernel=shard_kernel,
-            )
+            if mesh is not None:
+                f_final, av_vels = halo.run_sharded_2d(
+                    f0, obstacles, self.params, mesh, n_iters=iters,
+                    kernel=shard_kernel,
+                )
+            else:
+                f_final, av_vels = halo.run_sharded(
+                    f0, obstacles, self.params, n_iters=iters,
+                    n_devices=devices, kernel=shard_kernel,
+                    ca_steps=ca_steps,
+                )
             densities = None
         else:
             runner = self._compiled.get((iters, debug))
@@ -328,6 +344,8 @@ class Simulation:
         debug: bool = False,
         devices: int | None = None,
         shard_kernel: str = "jnp",
+        mesh: tuple[int, int] | None = None,
+        ca_steps: int = 1,
     ) -> SimulationResult:
         """Host-level segment loop with snapshots at segment boundaries.
 
@@ -357,16 +375,26 @@ class Simulation:
                 av_parts.append(np.asarray(av_prev)[:start])
 
         # segments use the same backend configuration a straight run would
-        sharded = self.backend == "sharded" or (devices is not None and devices > 1)
+        sharded = (
+            self.backend == "sharded"
+            or (devices is not None and devices > 1)
+            or mesh is not None
+        )
         density_parts: list[np.ndarray] = []
         if sharded:
             from advanced_hpc_lbm_tpu.parallel import halo
 
             def make_runner(seg):
                 def _run(ff, oo, _n=seg):
+                    if mesh is not None:
+                        return halo.run_sharded_2d(
+                            ff, oo, self.params, mesh, n_iters=_n,
+                            kernel=shard_kernel,
+                        )
                     return halo.run_sharded(
                         ff, oo, self.params, n_iters=_n,
                         n_devices=devices, kernel=shard_kernel,
+                        ca_steps=ca_steps,
                     )
                 return _run
         elif self.backend == "resident" and not debug:

@@ -68,3 +68,29 @@ class TestCLI:
         assert args.backend == "auto"
         assert args.checkpoint_every is None
         assert not args.resume
+
+
+def test_cli_mesh_and_ca_steps(tmp_path):
+    """--mesh 2x2 (2-D torus) and --ca-steps 2 (communication-avoiding
+    ring) both produce checker-equivalent av histories to the plain run."""
+    import numpy as np
+
+    from advanced_hpc_lbm_tpu import cli
+
+    deck = "decks/mini_64x64"
+    outs = {}
+    for name, extra in (
+        ("plain", []),
+        ("mesh", ["--mesh", "2x2", "--shard-kernel", "jnp"]),
+        ("ca", ["--devices", "4", "--ca-steps", "2"]),
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        rc = cli.main([
+            f"{deck}.params", f"{deck}.obstacles.dat",
+            "--iters", "20", "--out-dir", str(d), *extra,
+        ])
+        assert rc == 0
+        outs[name] = np.loadtxt(d / "av_vels.dat", usecols=[1])
+    np.testing.assert_allclose(outs["mesh"], outs["plain"], rtol=5e-4)
+    np.testing.assert_allclose(outs["ca"], outs["plain"], rtol=5e-4)
