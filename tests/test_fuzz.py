@@ -77,3 +77,21 @@ def test_backends_agree_on_random_decks(seed):
         np.asarray(f_res), np.asarray(f_fused), rtol=1e-4, atol=1e-6,
         err_msg=f"resident vs fused diverged (seed {seed}, {params})",
     )
+
+    # K-step ghost-zone kernel (K=2, ty forced to 8 so every random ny
+    # tiles; handles its own odd tail via the 1-step kernel)
+    import os
+
+    from advanced_hpc_lbm_tpu.ops import pallas_k
+
+    os.environ["LBM_PALLASK_TY"] = "8"
+    try:
+        f_pk, _ = pallas_k.run(
+            f0, obst, params, n_iters=params.max_iters, k=2, interpret=True
+        )
+    finally:
+        del os.environ["LBM_PALLASK_TY"]
+    np.testing.assert_allclose(
+        np.asarray(f_pk), np.asarray(f_fused), rtol=1e-4, atol=1e-6,
+        err_msg=f"pallask vs fused diverged (seed {seed}, {params})",
+    )
