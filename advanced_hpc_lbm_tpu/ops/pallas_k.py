@@ -87,9 +87,12 @@ def _vmem_estimate(ny: int, nx: int, k: int) -> int | None:
 
 
 def best_k(ny: int, nx: int) -> int | None:
-    """Largest K whose kernel fits the measured compile ceiling and whose
-    seam recompute stays sane (2K <= ty => <= 100% extra VPU work)."""
-    for k in (8, 6, 4, 3, 2):
+    """Best K that fits the measured compile ceiling and whose seam
+    recompute stays sane (2K <= ty => <= 100% extra VPU work).  Order is
+    by measured throughput with the copy-free scan body (2048^2: K=4 6.4 >
+    K=6 6.2 > K=8 5.9 GLUPS — once the hidden carry copy was eliminated,
+    per-step traffic matters less and seam compute more)."""
+    for k in (4, 6, 8, 3, 2):
         if not supported(ny, nx, k):
             continue
         ty = _pick_tile_rows(ny, nx, k)

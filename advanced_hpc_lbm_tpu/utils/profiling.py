@@ -75,6 +75,14 @@ def roofline_report(result: BenchResult) -> str:
             f"HBM roofline: {peak:.0f} GB/s -> {ceiling:.1f} GLUPS ceiling; "
             f"achieved {100 * result.glups / ceiling:.0f}% of roofline"
         )
+        lines.append(
+            "note: nominal-BW model. Measured on this device (BENCH.md "
+            "probe series): working sets <= ~40 MB are VMEM-promoted "
+            "(the 'roofline' is then VMEM streaming, and >100% of the "
+            "nominal model is real), while 300+ MB states stream at the "
+            "big-array memcpy bound (~0.3-0.65x nominal); the K-step "
+            "backend trades compute for bytes exactly there."
+        )
     return "\n".join(lines)
 
 
