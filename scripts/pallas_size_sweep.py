@@ -29,6 +29,8 @@ def main(argv=None) -> int:
 
     cache.enable()
 
+    from advanced_hpc_lbm_tpu.ops import pallas_k
+
     # iteration counts sized for ~0.2-0.5 s of work per timed run
     iters_for = {"512": 4000, "1024": 2000, "2048": 800, "4096": 300}
     setups = {}
@@ -43,16 +45,25 @@ def main(argv=None) -> int:
         mask[:, 0] = mask[:, -1] = True
         obstacles = jnp.asarray(mask)
         iters = iters_for[s]
-        runner = jax.jit(
-            lambda f, o, _p=params, _n=iters: fused.run_simulation(
-                f, o, _p, n_iters=_n, step_fn=pallas_step.pallas_fused_step
+        # the auto policy: 1-step kernel at <= 1024^2, K-step above
+        kk = pallas_k.best_k(n, n) if n * n > 1024 * 1024 else None
+        if kk:
+            runner = jax.jit(
+                lambda f, o, _p=params, _n=iters, _k=kk: pallas_k.run(
+                    f, o, _p, n_iters=_n, k=_k
+                )
             )
-        )
-        setups[s] = (params, obstacles, runner, iters)
-        print(f"# {s}: ty={pallas_step._pick_tile_rows(n, n)}")
+        else:
+            runner = jax.jit(
+                lambda f, o, _p=params, _n=iters: fused.run_simulation(
+                    f, o, _p, n_iters=_n, step_fn=pallas_step.pallas_fused_step
+                )
+            )
+        setups[s] = (params, obstacles, runner, iters, kk)
+        print(f"# {s}: ty={pallas_step._pick_tile_rows(n, n)} k={kk}")
 
     def run_one(s):
-        params, obstacles, runner, iters = setups[s]
+        params, obstacles, runner, iters, _ = setups[s]
         f0 = reference.initial_state(params)
         f_final, av = runner(f0, obstacles)
         av_host = np.asarray(av)
@@ -71,7 +82,7 @@ def main(argv=None) -> int:
 
     for s in setups:
         n = int(s)
-        iters = setups[s][3]
+        iters, kk = setups[s][3], setups[s][4]
         med = float(np.median(times[s]))
         best = float(np.min(times[s]))
         glups = n * n * iters / med / 1e9
@@ -84,7 +95,7 @@ def main(argv=None) -> int:
                     "best": round(glups_best, 3),
                     "us_per_step": round(med / iters * 1e6, 2),
                     "ns_per_cell": round(med / iters / (n * n) * 1e9, 4),
-                    "ty": pallas_step._pick_tile_rows(n, n),
+                    "backend": f"pallask-k{kk}" if kk else "pallas",
                 }
             )
         )
