@@ -28,7 +28,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from advanced_hpc_lbm_tpu.ops import kernel_common, lattice
-from advanced_hpc_lbm_tpu.ops.pallas_step import MASK_DTYPE, _pick_tile_rows
+from advanced_hpc_lbm_tpu.ops.pallas_step import (
+    MASK_DTYPE, _NORTH, _SOUTH, _pick_tile_rows,
+)
 from advanced_hpc_lbm_tpu.params import LBMParams
 
 _LANE = 128
@@ -49,35 +51,39 @@ def supported(ny_local: int, nx: int) -> bool:
 
 
 def _local_kernel(
-    accel_ref, f_ref, bot_ref, top_halo_ref, bot_halo_ref, obst_ref,
-    out_ref, tot_ref, top_scr, bot_scr,
+    accel_ref, f_ref, bot4_ref, bot7_ref, bot8_ref, top_halo_ref,
+    bot_halo_ref, obst_ref, out_ref, tot_ref, top_scr, bot_scr,
     *, params: LBMParams, ty: int, ny: int, nx: int,
 ):
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     zero = jnp.float32(0.0)
+    bot = dict(zip(_SOUTH, (bot4_ref, bot7_ref, bot8_ref)))
+    nrow = {k: r for r, k in enumerate(_NORTH)}
+    srow = {k: r for r, k in enumerate(_SOUTH)}
 
     obst = obst_ref[...].astype(jnp.float32) != 0.0
 
     # top halo: parked row from the previous tile, or the neighbor-supplied
-    # row for the first tile
+    # row for the first tile (only north-movers pull from below)
     @pl.when(i == 0)
     def _use_top_halo():
-        for k in range(lattice.NSPEEDS):
-            top_scr[k] = top_halo_ref[k]
+        for k in _NORTH:
+            top_scr[nrow[k]] = top_halo_ref[k]
 
-    # bottom halo: row 0 of the pipelined 8-row block for interior tiles,
+    # bottom halo: row 0 of the pipelined per-plane 8-row blocks for
+    # interior tiles (only south-movers need it — 3x less halo traffic),
     # the neighbor-supplied row for the last tile (whose blocked fetch is
     # clamped and ignored)
     @pl.when(i < n_tiles - 1)
     def _bot_from_block():
-        for k in range(lattice.NSPEEDS):
-            bot_scr[k] = bot_ref[k, 0:1, :]
+        for k in _SOUTH:
+            bot_scr[srow[k]] = bot[k][0, 0:1, :]
 
     @pl.when(i == n_tiles - 1)
     def _bot_from_halo():
-        for k in range(lattice.NSPEEDS):
-            bot_scr[k] = bot_halo_ref[k]
+        for k in _SOUTH:
+            bot_scr[srow[k]] = bot_halo_ref[k]
 
     # ---- forcing: the global row ny-2 lives at local row accel_ref[0,0]
     # (or -1 on shards that don't own it); only its tile pays ----
@@ -101,9 +107,11 @@ def _local_kernel(
     def stream(k: int) -> jax.Array:
         cy, cx = int(lattice.CY[k]), int(lattice.CX[k])
         if cy == 1:
-            rows = jnp.concatenate([top_scr[k], f_ref[k][: ty - 1]], axis=0)
+            rows = jnp.concatenate(
+                [top_scr[nrow[k]], f_ref[k][: ty - 1]], axis=0
+            )
         elif cy == -1:
-            rows = jnp.concatenate([f_ref[k][1:], bot_scr[k]], axis=0)
+            rows = jnp.concatenate([f_ref[k][1:], bot_scr[srow[k]]], axis=0)
         else:
             rows = f_ref[k]
         if cx:
@@ -115,8 +123,8 @@ def _local_kernel(
     # park this tile's last pre-step row for the next tile (the forcing row
     # is never a tile's last row when it exists: local row ny_loc-2 with
     # ty | ny_loc and ty >= 4)
-    for k in range(lattice.NSPEEDS):
-        top_scr[k] = f_ref[k, ty - 1 : ty, :]
+    for k in _NORTH:
+        top_scr[nrow[k]] = f_ref[k, ty - 1 : ty, :]
 
     out_planes, u_sq = kernel_common.collide(streamed, obst, params)
     for k in range(lattice.NSPEEDS):
@@ -131,17 +139,22 @@ def _build_call(params: LBMParams, ny: int, nx: int, ty: int, interpret: bool):
     vm = pltpu.VMEM
     last_block = (ny - 8) // 8
 
+    def _bot_spec(k):
+        return pl.BlockSpec(
+            (1, 8, nx),
+            lambda i, _k=k: (
+                _k, jnp.minimum(((i + 1) * ty) // 8, last_block), 0
+            ),
+            memory_space=vm,
+        )
+
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((9, ty, nx), lambda i: (0, i, 0), memory_space=vm),
-            pl.BlockSpec(
-                (9, 8, nx),
-                lambda i: (0, jnp.minimum(((i + 1) * ty) // 8, last_block), 0),
-                memory_space=vm,
-            ),
+            *[_bot_spec(k) for k in _SOUTH],
             pl.BlockSpec((9, 1, nx), lambda i: (0, 0, 0), memory_space=vm),
             pl.BlockSpec((9, 1, nx), lambda i: (0, 0, 0), memory_space=vm),
             pl.BlockSpec((ty, nx), lambda i: (i, 0), memory_space=vm),
@@ -155,8 +168,8 @@ def _build_call(params: LBMParams, ny: int, nx: int, ty: int, interpret: bool):
             jax.ShapeDtypeStruct((ny // ty, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((9, 1, nx), jnp.float32),  # parked/top halo row
-            pltpu.VMEM((9, 1, nx), jnp.float32),  # bottom halo row
+            pltpu.VMEM((3, 1, nx), jnp.float32),  # parked/top rows (_NORTH)
+            pltpu.VMEM((3, 1, nx), jnp.float32),  # bottom rows (_SOUTH)
         ],
         cost_estimate=pl.CostEstimate(
             flops=int(120 * ny * nx),
@@ -174,34 +187,38 @@ _XCOL_SLOT = {k: j for j, k in enumerate(_XCOL_PLANES)}
 
 
 def _local2d_kernel(
-    accel_ref, f_ref, bot_ref, top_halo_ref, bot_halo_ref, cols_ref, obst_ref,
-    out_ref, tot_ref, top_scr, bot_scr,
+    accel_ref, f_ref, bot4_ref, bot7_ref, bot8_ref, top_halo_ref,
+    bot_halo_ref, cols_ref, obst_ref, out_ref, tot_ref, top_scr, bot_scr,
     *, params: LBMParams, ty: int, ny: int, nx: int,
 ):
     """Row-slab tiles over a shard whose domain is cut in BOTH axes: the
-    y machinery is _local_kernel's; the x edges splice in pre-shifted halo
-    columns instead of a periodic lane rotate (the columns arrive already
-    y-aligned per plane, so corners need no special handling)."""
+    y machinery is _local_kernel's (slim per-plane bottom halos); the x
+    edges splice in pre-shifted halo columns instead of a periodic lane
+    rotate (the columns arrive already y-aligned per plane, so corners
+    need no special handling)."""
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     zero = jnp.float32(0.0)
+    bot = dict(zip(_SOUTH, (bot4_ref, bot7_ref, bot8_ref)))
+    nrow = {k: r for r, k in enumerate(_NORTH)}
+    srow = {k: r for r, k in enumerate(_SOUTH)}
 
     obst = obst_ref[...].astype(jnp.float32) != 0.0
 
     @pl.when(i == 0)
     def _use_top_halo():
-        for k in range(lattice.NSPEEDS):
-            top_scr[k] = top_halo_ref[k]
+        for k in _NORTH:
+            top_scr[nrow[k]] = top_halo_ref[k]
 
     @pl.when(i < n_tiles - 1)
     def _bot_from_block():
-        for k in range(lattice.NSPEEDS):
-            bot_scr[k] = bot_ref[k, 0:1, :]
+        for k in _SOUTH:
+            bot_scr[srow[k]] = bot[k][0, 0:1, :]
 
     @pl.when(i == n_tiles - 1)
     def _bot_from_halo():
-        for k in range(lattice.NSPEEDS):
-            bot_scr[k] = bot_halo_ref[k]
+        for k in _SOUTH:
+            bot_scr[srow[k]] = bot_halo_ref[k]
 
     accel_row = accel_ref[0, 0]
 
@@ -222,9 +239,11 @@ def _local2d_kernel(
     def stream(k: int) -> jax.Array:
         cy, cx = int(lattice.CY[k]), int(lattice.CX[k])
         if cy == 1:
-            rows = jnp.concatenate([top_scr[k], f_ref[k][: ty - 1]], axis=0)
+            rows = jnp.concatenate(
+                [top_scr[nrow[k]], f_ref[k][: ty - 1]], axis=0
+            )
         elif cy == -1:
-            rows = jnp.concatenate([f_ref[k][1:], bot_scr[k]], axis=0)
+            rows = jnp.concatenate([f_ref[k][1:], bot_scr[srow[k]]], axis=0)
         else:
             rows = f_ref[k]
         if cx == 1:  # pull from x-1: splice the left halo column at x=0
@@ -237,8 +256,8 @@ def _local2d_kernel(
 
     streamed = [stream(k) for k in range(lattice.NSPEEDS)]
 
-    for k in range(lattice.NSPEEDS):
-        top_scr[k] = f_ref[k, ty - 1 : ty, :]
+    for k in _NORTH:
+        top_scr[nrow[k]] = f_ref[k, ty - 1 : ty, :]
 
     out_planes, u_sq = kernel_common.collide(streamed, obst, params)
     for k in range(lattice.NSPEEDS):
@@ -257,17 +276,22 @@ def _build_call_2d(
     vm = pltpu.VMEM
     last_block = (ny - 8) // 8
 
+    def _bot_spec(k):
+        return pl.BlockSpec(
+            (1, 8, nx),
+            lambda i, _k=k: (
+                _k, jnp.minimum(((i + 1) * ty) // 8, last_block), 0
+            ),
+            memory_space=vm,
+        )
+
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((9, ty, nx), lambda i: (0, i, 0), memory_space=vm),
-            pl.BlockSpec(
-                (9, 8, nx),
-                lambda i: (0, jnp.minimum(((i + 1) * ty) // 8, last_block), 0),
-                memory_space=vm,
-            ),
+            *[_bot_spec(k) for k in _SOUTH],
             pl.BlockSpec((9, 1, nx), lambda i: (0, 0, 0), memory_space=vm),
             pl.BlockSpec((9, 1, nx), lambda i: (0, 0, 0), memory_space=vm),
             pl.BlockSpec((6, ty, 1), lambda i: (0, i, 0), memory_space=vm),
@@ -282,8 +306,8 @@ def _build_call_2d(
             jax.ShapeDtypeStruct((ny // ty, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((9, 1, nx), jnp.float32),
-            pltpu.VMEM((9, 1, nx), jnp.float32),
+            pltpu.VMEM((3, 1, nx), jnp.float32),
+            pltpu.VMEM((3, 1, nx), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=int(120 * ny * nx),
@@ -334,8 +358,8 @@ def local_step_2d(
     accel = jnp.asarray(accel_local_row, jnp.int32).reshape(1, 1)
     call = _build_call_2d(params, ny_local, nx_local, ty, interpret)
     f_next, tots = call(
-        accel, f_local, f_local, top_halo, bot_halo, halo_cols,
-        obstacles_local,
+        accel, f_local, f_local, f_local, f_local, top_halo, bot_halo,
+        halo_cols, obstacles_local,
     )
     return f_next, jnp.sum(tots)
 
@@ -374,6 +398,7 @@ def local_step(
     accel = jnp.asarray(accel_local_row, jnp.int32).reshape(1, 1)
     call = _build_call(params, ny_local, nx, ty, interpret)
     f_next, tots = call(
-        accel, f_local, f_local, top_halo, bot_halo, obstacles_local
+        accel, f_local, f_local, f_local, f_local, top_halo, bot_halo,
+        obstacles_local,
     )
     return f_next, jnp.sum(tots)
