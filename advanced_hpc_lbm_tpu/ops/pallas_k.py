@@ -44,14 +44,20 @@ from advanced_hpc_lbm_tpu.params import LBMParams
 _LANE = 128
 
 
+# VMEM budget for kernel buffers.  The chip has >= ~100 MB of usable VMEM
+# (XLA promotes 75 MB of scan carries into it at 1024^2); Mosaic's DEFAULT
+# scoped limit is ~10 MB, raised per-call via
+# CompilerParams(vmem_limit_bytes) — verified to compile and run at 100 MB
+# on this remote compile helper.  64 MB of buffers leaves ample headroom
+# for spill/temporaries inside the K-step bodies.
+_VMEM_BUDGET = 64 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
 def _pick_tile_rows(ny: int, nx: int, k: int) -> int | None:
-    """VMEM: 4 x (36*ty*nx) main blocks + one double-buffered (9, 8, nx)
-    bottom-halo stack (full 9 planes — ghost zones need the whole state in
-    the halo region, unlike the 1-step kernel's slim halos) + masks +
-    wrap/park scratch.  The wrap rows arrive by explicit one-time DMA, not
-    a pipelined operand (saves ~2 x 9*8*nx*4 of double-buffering — the
-    difference between compiling and a compiler OOM at nx=4096).
-    Measured ceiling: ~10.5 MB total compiles, ~12 MB does not."""
+    """Largest 8-multiple row-slab dividing ny whose buffers (4 x 36*ty*nx
+    main blocks + halos/scratch) fit _VMEM_BUDGET.  Large ty is what makes
+    big K cheap: the ghost-zone seam recompute is 2K/ty."""
     override = os.environ.get("LBM_PALLASK_TY")
     if override:
         ty = int(override)
@@ -62,18 +68,15 @@ def _pick_tile_rows(ny: int, nx: int, k: int) -> int | None:
         + (9 + 1) * 8 * nx * 4  # wrap scratch (DMA'd once)
         + (9 + 1) * k * nx * 4  # parked rows
     )
-    budget_rows = max(8, ((10_300_000 - fixed) // (146 * nx)) // 8 * 8)
-    for ty in (32, 16, 8):
+    budget_rows = max(8, ((_VMEM_BUDGET - fixed) // (146 * nx)) // 8 * 8)
+    for ty in (64, 32, 16, 8):
         if ny % ty == 0 and max(k, 8) <= ty <= budget_rows:
             return ty
     return None
 
 
 def _vmem_estimate(ny: int, nx: int, k: int) -> int | None:
-    """Total kernel VMEM (operand buffers + scratch), bytes — the remote
-    Mosaic compiler OOMs (helper exit 1) near ~9.5 MB at nx=4096, so the
-    k picker stays under 9.2 MB (measured: k2@4096 ty=8 = 9.2 MB compiles,
-    k4@4096 ty=8 = 9.6 MB does not; everything at nx<=2048 fits)."""
+    """Total kernel VMEM (operand buffers + scratch), bytes."""
     ty = _pick_tile_rows(ny, nx, k)
     if ty is None:
         return None
@@ -87,17 +90,16 @@ def _vmem_estimate(ny: int, nx: int, k: int) -> int | None:
 
 
 def best_k(ny: int, nx: int) -> int | None:
-    """Best K that fits the measured compile ceiling and whose seam
-    recompute stays sane (2K <= ty => <= 100% extra VPU work).  Order is
-    by measured throughput with the copy-free scan body (2048^2: K=4 6.4 >
-    K=6 6.2 > K=8 5.9 GLUPS — once the hidden carry copy was eliminated,
-    per-step traffic matters less and seam compute more)."""
-    for k in (4, 6, 8, 3, 2):
+    """Best K with ty=64 tiles (measured, copy-free body, interleaved):
+    4096^2 K=8 6.58 > K=4 6.31 GLUPS (deep traffic cut wins when DMA
+    binds hardest); 2048^2 K=4 6.67 > K=8 6.49 (VPU floor closer).  Seam
+    guard: 4K <= ty keeps redundant compute <= 50%."""
+    order = (8, 6, 4, 3, 2) if ny * nx > 2048 * 2048 else (4, 6, 8, 3, 2)
+    for k in order:
         if not supported(ny, nx, k):
             continue
         ty = _pick_tile_rows(ny, nx, k)
-        est = _vmem_estimate(ny, nx, k)
-        if est is not None and est <= 9_300_000 and 2 * k <= ty + 8:
+        if 4 * k <= ty:
             return k
     return None
 
@@ -231,6 +233,7 @@ def _build_call(
             bytes_accessed=int(82 * ny * nx),
             transcendentals=int(k * ny * nx),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
 

@@ -77,13 +77,12 @@ def _pick_tile_rows(ny: int, nx: int = 1024) -> int | None:
         return ty if ny % ty == 0 and ty % 8 == 0 else None
     # VMEM: 2 buffers x (in + out) x 9 planes x ty x nx x 4B = 144*ty*nx,
     # plus six double-buffered (1, 8, nx) halo/wrap blocks (384*nx), the
-    # int8 mask (2*ty*nx) and the parked-row scratch (12*nx).  The remote
-    # Mosaic compiler accepts ~11.2 MB total for this kernel structure
-    # (ty=16 at nx=4096 = 11.1 MB compiles); this yields ty=64 at
-    # nx<=1024, 32 at 2048, 16 at 4096 and NONE at nx>=8192 (graceful
-    # fused fallback instead of a compiler OOM).
+    # int8 mask (2*ty*nx) and the parked-row scratch (12*nx).  Mosaic's
+    # default scoped-VMEM limit is ~10 MB but the chip has >= ~100 MB;
+    # the kernel raises the limit (CompilerParams) and budgets 64 MB of
+    # buffers — ty=64 everywhere up to nx=4096, 32 at nx=8192.
     halo_fixed = 6 * 2 * 8 * nx * 4
-    budget_rows = ((11_200_000 - halo_fixed) // (146 * nx)) // 8 * 8
+    budget_rows = ((64 * 1024 * 1024 - halo_fixed) // (146 * nx)) // 8 * 8
     for ty in (64, 32, 16, 8):
         if ny % ty == 0 and ty <= budget_rows:
             return ty
@@ -249,6 +248,9 @@ def _build_pallas_call(
             flops=int(120 * ny * nx),
             bytes_accessed=int(74 * ny * nx),
             transcendentals=int(ny * nx),  # the sqrt
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )
