@@ -36,8 +36,11 @@ from advanced_hpc_lbm_tpu.params import LBMParams
 MASK_DTYPE = jnp.int8
 _LANE = 128
 
-# one resident buffer (9 planes fp32) must stay under this
-_MAX_BUFFER_BYTES = 2_600_000
+# one resident buffer (9 planes fp32) must stay under this.  With the
+# scoped-VMEM limit raised to 100 MB (CompilerParams — the chip has
+# >= 100 MB, see DESIGN.md), two 12 MB buffers plus per-step temporaries
+# fit comfortably: covers every shipped deck up to 512x512 and 256x1024.
+_MAX_BUFFER_BYTES = 12_600_000
 
 
 def supported(ny: int, nx: int) -> bool:
@@ -136,6 +139,9 @@ def _build_chunk_call(
             flops=int(120 * ny * nx) * n_steps,
             bytes_accessed=int(73 * ny * nx),
             transcendentals=int(ny * nx) * n_steps,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )
