@@ -1,8 +1,8 @@
-"""VMEM-resident whole-run kernel for small grids.
+"""VMEM-resident whole-run kernel for small and medium grids.
 
-For decks whose two distribution buffers fit in VMEM (<= ~2.5 MB per
-buffer: 128x128, 128x256, 256x256 — exactly the reference's validation
-decks), the entire main loop runs *inside* one Pallas kernel: the state
+For decks whose two distribution buffers fit in VMEM (up to ~37.75 MB
+per buffer: every reference validation deck AND the 1024x1024 headline
+deck), the entire main loop runs *inside* one Pallas kernel: the state
 ping-pongs between the input and output VMEM blocks across a
 ``fori_loop`` of fused double-steps, with **zero HBM traffic per step**.
 The only HBM motion is one state read + one write per ~CHUNK steps plus
@@ -30,17 +30,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from advanced_hpc_lbm_tpu.ops import kernel_common, lattice
+from advanced_hpc_lbm_tpu.ops import lattice
 from advanced_hpc_lbm_tpu.params import LBMParams
 
 MASK_DTYPE = jnp.int8
 _LANE = 128
 
-# one resident buffer (9 planes fp32) must stay under this.  With the
-# scoped-VMEM limit raised to 100 MB (CompilerParams — the chip has
-# >= 100 MB, see DESIGN.md), two 12 MB buffers plus per-step temporaries
-# fit comfortably: covers every shipped deck up to 512x512 and 256x1024.
-_MAX_BUFFER_BYTES = 12_600_000
+# one resident buffer (9 planes fp32) must stay under this.  The binding
+# budget is the v5e's 128 MiB of VMEM: two resident buffers (2 x 37.75 MB
+# at 1024^2) + the obstacle plane + the kernel's live temporaries must fit
+# under the scoped-VMEM limit.  The liveness-lean step (see _one_step)
+# keeps peak temporaries to a handful of planes, which is what lets
+# 1024x1024 fit — measured 16.5-17.2 GLUPS there vs 13.4-13.85 for the
+# per-step tiled kernel (BENCH.md).
+_MAX_BUFFER_BYTES = 37_800_000
+_VMEM_LIMIT_BYTES = 127 * 1024 * 1024
 
 
 def supported(ny: int, nx: int) -> bool:
@@ -60,33 +64,78 @@ def _one_step(
     src, dst, obst, accel_rows, t, avs_ref, *, params: LBMParams, ny, nx
 ):
     """One fused timestep reading planes from ref ``src`` and writing ref
-    ``dst``; appends the step's tot_u to avs_ref[t, 0]."""
+    ``dst``; appends the step's tot_u to avs_ref[t, 0].
+
+    Same physics as kernel_common.forced + collide (oracle-tested in
+    interpret mode), but restructured for minimal whole-plane liveness:
+    the naive three-list form (forced, streamed, out) keeps ~18 planes
+    live at once, which Mosaic's register allocator turns into ~2
+    buffers' worth of VMEM spill slots — at 1024x1024 that alone is
+    70 MB and the kernel exceeds the 128 MiB chip VMEM.  Here each plane
+    is forced+rolled straight into ``dst`` (1-2 planes live), moments
+    are accumulated with reloads from ``dst``, and each collision pair
+    is stored the moment it is computed (the bounce-back partner is the
+    pair's other plane, so pairs retire their own loads)."""
     zero = jnp.float32(0.0)
 
-    # ---- forcing on row ny-2 (d2q9-bgk.c:239-260) ----
-    # full-grid masked update (row-sliced writes at an unaligned sublane
-    # offset are fragile in Mosaic); accel_rows is the precomputed row mask
-    planes = kernel_common.forced(
-        [src[k] for k in range(lattice.NSPEEDS)], obst, accel_rows, params
+    # ---- forcing predicate on row ny-2, from pre-step planes
+    # (d2q9-bgk.c:239-260); full-grid masked update — row-sliced writes
+    # at an unaligned sublane offset are fragile in Mosaic ----
+    w1, w2 = params.accel_w1, params.accel_w2
+    ok = (
+        accel_rows
+        & jnp.logical_not(obst)
+        & (src[3] - w1 > 0.0)
+        & (src[6] - w2 > 0.0)
+        & (src[7] - w2 > 0.0)
     )
 
-    # ---- pull streaming: whole-plane periodic rotates ----
-    streamed = []
+    # ---- force + pull-stream each plane straight into dst ----
+    deltas = {1: w1, 5: w2, 8: w2, 3: -w1, 6: -w2, 7: -w2}
     for k in range(lattice.NSPEEDS):
+        plane = src[k]
+        dv = deltas.get(k)
+        if dv is not None:
+            plane = plane + jnp.where(ok, jnp.float32(dv), zero)
         cy, cx = int(lattice.CY[k]), int(lattice.CX[k])
-        plane = planes[k]
         if cy:
             plane = pltpu.roll(plane, cy % ny, axis=0)
         if cx:
             plane = pltpu.roll(plane, cx % nx, axis=1)
-        streamed.append(plane)
+        dst[k] = plane
 
-    # ---- shared pairwise BGK + bounce-back ----
-    out_planes, u_sq = kernel_common.collide(streamed, obst, params)
-    for k in range(lattice.NSPEEDS):
-        dst[k] = out_planes[k]
-
+    # ---- moments (accumulator form: loads retire into sums) ----
+    omega = params.omega_f32
+    om1 = jnp.float32(1.0) - omega
+    rho = dst[0]
+    for k in range(1, lattice.NSPEEDS):
+        rho = rho + dst[k]
+    inv_rho = 1.0 / rho
+    u_x = (dst[1] + dst[5] + dst[8] - dst[3] - dst[6] - dst[7]) * inv_rho
+    u_y = (dst[2] + dst[5] + dst[6] - dst[4] - dst[7] - dst[8]) * inv_rho
+    u_sq = u_x * u_x + u_y * u_y
     avs_ref[t, 0] = jnp.sum(jnp.where(obst, zero, jnp.sqrt(u_sq)))
+    base = 1.0 - u_sq * jnp.float32(1.5)
+
+    # ---- pairwise BGK + bounce-back, stored as computed (in place) ----
+    s0 = dst[0]
+    dst[0] = jnp.where(
+        obst, s0, (jnp.float32(lattice.W[0]) * omega) * rho * base + om1 * s0
+    )
+
+    def pair(k, cu):
+        ko = int(lattice.OPP[k])
+        sk, sko = dst[k], dst[ko]
+        tw = (jnp.float32(lattice.W[k]) * omega) * rho
+        even = base + (cu * cu) * jnp.float32(4.5)
+        odd = cu * jnp.float32(3.0)
+        dst[k] = jnp.where(obst, sko, tw * (even + odd) + om1 * sk)
+        dst[ko] = jnp.where(obst, sk, tw * (even - odd) + om1 * sko)
+
+    pair(1, u_x)
+    pair(2, u_y)
+    pair(5, u_x + u_y)
+    pair(8, u_x - u_y)
 
 
 def _chunk_kernel(
@@ -141,7 +190,7 @@ def _build_chunk_call(
             transcendentals=int(ny * nx) * n_steps,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
     )

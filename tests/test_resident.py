@@ -51,18 +51,20 @@ def test_single_chunk_even(deck):
 
 def test_too_large_grid_raises():
     params = LBMParams(
-        nx=1024, ny=1024, max_iters=2, reynolds_dim=10,
+        nx=2048, ny=2048, max_iters=2, reynolds_dim=10,
         density=0.1, accel=0.01, omega=1.85,
     )
     f0 = reference.initial_state(params)
     with pytest.raises(ValueError, match="too large"):
         resident.resident_run(
-            f0, jnp.zeros((1024, 1024), bool), params, n_iters=2, interpret=True
+            f0, jnp.zeros((2048, 2048), bool), params, n_iters=2, interpret=True
         )
 
 
 def test_supported_covers_reference_decks():
-    # the three validation decks fit; 1024^2 does not (it uses 'pallas')
-    for ny, nx in [(128, 128), (256, 128), (256, 256)]:
+    # every reference deck INCLUDING the 1024^2 headline fits the
+    # liveness-lean kernel (two 37.75 MB buffers under the 127 MiB scoped
+    # limit); 2048^2 (151 MB/buffer) does not — it uses 'pallask'
+    for ny, nx in [(128, 128), (256, 128), (256, 256), (1024, 1024)]:
         assert 9 * ny * nx * 4 <= resident._MAX_BUFFER_BYTES
-    assert 9 * 1024 * 1024 * 4 > resident._MAX_BUFFER_BYTES
+    assert 9 * 2048 * 2048 * 4 > resident._MAX_BUFFER_BYTES
