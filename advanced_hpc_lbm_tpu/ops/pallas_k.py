@@ -184,13 +184,147 @@ def _kernel_k(
         out_ref[kk] = w[kk]
 
 
+def _kernel_k_lean(
+    f_ref, bot_ref, f_any, om_ref, ob_ref, om_any,
+    out_ref, tot_ref, park_f, park_o, wrap_scr, wrapo_scr, wa, wb,
+    sem_f, sem_o,
+    *, params: LBMParams, k: int, ty: int, ny: int, nx: int,
+):
+    """Liveness-lean variant of _kernel_k: the K-step trapezoid ping-pongs
+    between two scratch window buffers, with each step structured like
+    ops.resident's lean step (force+stream plane-at-a-time into the dst
+    ref, moments from accumulator reloads, collision pairs stored as
+    computed).  The naive value-list step keeps ~18 whole windows live and
+    Mosaic spills them; in the K-step regime the kernel is VPU/VMEM-bound
+    (DMA is already cut K-fold), so the spill round-trips are on the
+    critical path.
+
+    Every step runs over the FULL (ty+2K, nx) window: the pull-rolls wrap
+    at the window edge, writing garbage into exactly the rows the
+    trapezoid invalidates anyway (valid region [s, T-s) after step s, so
+    rows [K, K+ty) are correct after K steps).  Full-window ops keep all
+    ref loads/stores whole-plane and sublane-aligned — Mosaic crashes on
+    sublane-offset row-sliced stores (ApplyVectorLayoutPass assert,
+    measured) — at the cost of ~K/(ty+K) extra row compute vs the
+    shrinking-window form.  Same fp op order as kernel_common.collide."""
+    i = pl.program_id(0)
+    zero = jnp.float32(0.0)
+    T = ty + 2 * k
+
+    @pl.when(i == 0)
+    def _load_wrap_rows():
+        dma_f = pltpu.make_async_copy(
+            f_any.at[:, ny - 8 : ny, :], wrap_scr, sem_f
+        )
+        dma_o = pltpu.make_async_copy(
+            om_any.at[ny - 8 : ny, :], wrapo_scr, sem_o
+        )
+        dma_f.start()
+        dma_o.start()
+        dma_f.wait()
+        dma_o.wait()
+        for kk in range(lattice.NSPEEDS):
+            park_f[kk] = wrap_scr[kk, 8 - k : 8, :]
+        park_o[...] = wrapo_scr[8 - k : 8, :]
+
+    # read this tile's top halo, materialize the step-0 window, re-park
+    top_o = park_o[...]
+    for kk in range(lattice.NSPEEDS):
+        wa[kk] = jnp.concatenate(
+            [park_f[kk][...], f_ref[kk], bot_ref[kk, 0:k, :]], axis=0
+        )
+        park_f[kk] = f_ref[kk, ty - k : ty, :]
+    park_o[...] = om_ref[ty - k : ty, :]
+
+    w_of = jnp.concatenate([top_o, om_ref[...], ob_ref[0:k, :]], axis=0)
+    w_obst = w_of != 0.0
+    obst_main = om_ref[...] != 0.0
+    # global row ids of window rows (row j <-> global i*ty - k + j)
+    accel_T = (
+        (jax.lax.broadcasted_iota(jnp.int32, (T, nx), 0) + i * ty - k) % ny
+    ) == (ny - 2)
+
+    w1a, w2a = params.accel_w1, params.accel_w2
+    omega = params.omega_f32
+    om1 = jnp.float32(1.0) - omega
+    deltas = {1: w1a, 5: w2a, 8: w2a, 3: -w1a, 6: -w2a, 7: -w2a}
+
+    src, dst = wa, wb
+    for s in range(k):
+        # forcing predicate over the full window (pre-step planes)
+        ok = (
+            accel_T
+            & jnp.logical_not(w_obst)
+            & (src[3] - w1a > 0.0)
+            & (src[6] - w2a > 0.0)
+            & (src[7] - w2a > 0.0)
+        )
+        # phase A: force + pull-stream each plane into dst (full window;
+        # the y-roll wraps at the window edge = trapezoid garbage rows)
+        for kk in range(lattice.NSPEEDS):
+            cy, cx = int(lattice.CY[kk]), int(lattice.CX[kk])
+            plane = src[kk]
+            dv = deltas.get(kk)
+            if dv is not None:
+                plane = plane + jnp.where(ok, jnp.float32(dv), zero)
+            if cy:
+                plane = pltpu.roll(plane, cy % T, axis=0)
+            if cx:
+                plane = pltpu.roll(plane, cx % nx, axis=1)
+            dst[kk] = plane
+
+        # phase B: moments + pairwise BGK + bounce-back, in place on dst
+        rho = dst[0]
+        for kk in range(1, lattice.NSPEEDS):
+            rho = rho + dst[kk]
+        inv_rho = 1.0 / rho
+        u_x = (
+            dst[1] + dst[5] + dst[8] - dst[3] - dst[6] - dst[7]
+        ) * inv_rho
+        u_y = (
+            dst[2] + dst[5] + dst[6] - dst[4] - dst[7] - dst[8]
+        ) * inv_rho
+        u_sq = u_x * u_x + u_y * u_y
+        norm = jnp.sqrt(jax.lax.slice_in_dim(u_sq, k, k + ty, axis=0))
+        tot_ref[i, s] = jnp.sum(jnp.where(obst_main, zero, norm))
+        base = 1.0 - u_sq * jnp.float32(1.5)
+
+        s0 = dst[0]
+        dst[0] = jnp.where(
+            w_obst, s0,
+            (jnp.float32(lattice.W[0]) * omega) * rho * base + om1 * s0,
+        )
+
+        def pair(kk, cu):
+            ko = int(lattice.OPP[kk])
+            sk, sko = dst[kk], dst[ko]
+            tw = (jnp.float32(lattice.W[kk]) * omega) * rho
+            even = base + (cu * cu) * jnp.float32(4.5)
+            odd = cu * jnp.float32(3.0)
+            dst[kk] = jnp.where(w_obst, sko, tw * (even + odd) + om1 * sk)
+            dst[ko] = jnp.where(w_obst, sk, tw * (even - odd) + om1 * sko)
+
+        pair(1, u_x)
+        pair(2, u_y)
+        pair(5, u_x + u_y)
+        pair(8, u_x - u_y)
+        src, dst = dst, src
+
+    # after K steps (and the final swap) the state sits in `src`,
+    # rows [k, k+ty) = the tile's own rows
+    for kk in range(lattice.NSPEEDS):
+        out_ref[kk] = src[kk, k : k + ty, :]
+
+
 @functools.lru_cache(maxsize=16)
 def _build_call(
-    params: LBMParams, ny: int, nx: int, ty: int, k: int, interpret: bool
+    params: LBMParams, ny: int, nx: int, ty: int, k: int, interpret: bool,
+    lean: bool = False,
 ):
     grid = (ny // ty,)
     kernel = functools.partial(
-        _kernel_k, params=params, k=k, ty=ty, ny=ny, nx=nx
+        _kernel_k_lean if lean else _kernel_k,
+        params=params, k=k, ty=ty, ny=ny, nx=nx,
     )
     vm = pltpu.VMEM
     return pl.pallas_call(
@@ -225,6 +359,17 @@ def _build_call(
             pltpu.VMEM((k, nx), jnp.float32),  # parked top mask rows
             pltpu.VMEM((9, 8, nx), jnp.float32),  # wrap-row DMA landing
             pltpu.VMEM((8, nx), jnp.float32),
+        ]
+        + (
+            # lean: two ping-pong window buffers (9, ty+2K, nx)
+            [
+                pltpu.VMEM((9, ty + 2 * k, nx), jnp.float32),
+                pltpu.VMEM((9, ty + 2 * k, nx), jnp.float32),
+            ]
+            if lean
+            else []
+        )
+        + [
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -251,6 +396,7 @@ def multi_step(
     k: int,
     *,
     interpret: bool = False,
+    lean: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Advance K timesteps in one HBM pass; returns (f_next, av_k (K,))."""
     _, ny, nx = f.shape
@@ -259,7 +405,7 @@ def multi_step(
         raise ValueError(f"grid {ny}x{nx} not tileable for the K-step kernel")
     if obstacles_f32.dtype != jnp.float32:
         obstacles_f32 = prepare_obstacles(obstacles_f32)
-    call = _build_call(params, ny, nx, ty, k, interpret)
+    call = _build_call(params, ny, nx, ty, k, interpret, lean)
     f_next, tots = call(
         f, f, f, obstacles_f32, obstacles_f32, obstacles_f32
     )
@@ -274,6 +420,7 @@ def run(
     n_iters: int | None = None,
     k: int = 4,
     interpret: bool = False,
+    lean: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Full loop at K steps per pass (tail via the 1-step kernel).
     Drop-in for ops.fused.run_simulation; wrap in jax.jit."""
@@ -282,7 +429,9 @@ def run(
     obst_f = prepare_obstacles(obstacles)
 
     def one(f):
-        return multi_step(f, obst_f, n_fluid, params, k, interpret=interpret)
+        return multi_step(
+            f, obst_f, n_fluid, params, k, interpret=interpret, lean=lean
+        )
 
     # two kernel calls per scan iteration so the loop carry needs no
     # in-place custom-call update — with one call per iteration XLA

@@ -22,8 +22,9 @@ def make_deck(ny, nx, seed=5):
     return params, jnp.asarray(mask)
 
 
+@pytest.mark.parametrize("lean", [False, True], ids=["naive", "lean"])
 @pytest.mark.parametrize("k", [2, 3, 4, 8])
-def test_multi_step_matches_oracle(k):
+def test_multi_step_matches_oracle(k, lean):
     params, obst = make_deck(64, 128)
     n_fluid = jnp.sum(~obst).astype(jnp.float32)
     f0 = reference.initial_state(params)
@@ -40,7 +41,7 @@ def test_multi_step_matches_oracle(k):
     try:
         for _ in range(2):
             f, av_k = pallas_k.multi_step(
-                f, obst_f, n_fluid, params, k, interpret=True
+                f, obst_f, n_fluid, params, k, interpret=True, lean=lean
             )
             avs.append(av_k)
     finally:
