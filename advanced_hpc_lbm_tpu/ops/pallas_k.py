@@ -90,10 +90,10 @@ def _vmem_estimate(ny: int, nx: int, k: int) -> int | None:
 
 
 def best_k(ny: int, nx: int) -> int | None:
-    """Best K with ty=64 tiles (measured, copy-free body, interleaved):
-    4096^2 K=8 6.58 > K=4 6.31 GLUPS (deep traffic cut wins when DMA
-    binds hardest); 2048^2 K=4 6.67 > K=8 6.49 (VPU floor closer).  Seam
-    guard: 4K <= ty keeps redundant compute <= 50%."""
+    """Best K with ty=64 tiles (measured, lean body, interleaved):
+    4096^2 K=8 16.4 > K=4 15.6 > K=2 14.3 GLUPS best (deep traffic cut
+    wins when DMA binds hardest); 2048^2 K=4 16.0 > K=8 13.7 (VPU floor
+    closer).  Seam guard: 4K <= ty keeps redundant compute <= 50%."""
     order = (8, 6, 4, 3, 2) if ny * nx > 2048 * 2048 else (4, 6, 8, 3, 2)
     for k in order:
         if not supported(ny, nx, k):
@@ -396,9 +396,13 @@ def multi_step(
     k: int,
     *,
     interpret: bool = False,
-    lean: bool = False,
+    lean: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
-    """Advance K timesteps in one HBM pass; returns (f_next, av_k (K,))."""
+    """Advance K timesteps in one HBM pass; returns (f_next, av_k (K,)).
+
+    lean=True (default) uses the liveness-lean step — measured 1.3-1.4x
+    over the naive value-list step at 2048^2/4096^2 with bitwise-identical
+    av histories (scripts/pallask_lean_probe.py)."""
     _, ny, nx = f.shape
     ty = _pick_tile_rows(ny, nx, k)
     if ty is None or nx % _LANE:
@@ -420,7 +424,7 @@ def run(
     n_iters: int | None = None,
     k: int = 4,
     interpret: bool = False,
-    lean: bool = False,
+    lean: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Full loop at K steps per pass (tail via the 1-step kernel).
     Drop-in for ops.fused.run_simulation; wrap in jax.jit."""
