@@ -48,9 +48,9 @@ _LANE = 128
 # (XLA promotes 75 MB of scan carries into it at 1024^2); Mosaic's DEFAULT
 # scoped limit is ~10 MB, raised per-call via
 # CompilerParams(vmem_limit_bytes) — verified to compile and run at 100 MB
-# on this remote compile helper.  64 MB of buffers leaves ample headroom
+# on this remote compile helper.  80 MB of buffers leaves headroom
 # for spill/temporaries inside the K-step bodies.
-_VMEM_BUDGET = 64 * 1024 * 1024
+_VMEM_BUDGET = 80 * 1024 * 1024
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
@@ -67,9 +67,12 @@ def _pick_tile_rows(ny: int, nx: int, k: int) -> int | None:
         + 2 * 8 * nx * 4  # bottom mask halo
         + (9 + 1) * 8 * nx * 4  # wrap scratch (DMA'd once)
         + (9 + 1) * k * nx * 4  # parked rows
+        + 72 * 2 * k * nx  # lean ping-pong windows, ghost-row part
     )
-    budget_rows = max(8, ((_VMEM_BUDGET - fixed) // (146 * nx)) // 8 * 8)
-    for ty in (64, 32, 16, 8):
+    # 146 B/row: in+out f double-buffered + masks; +72 B/row: the lean
+    # step's two (9, ty+2K, nx) ping-pong window buffers
+    budget_rows = max(8, ((_VMEM_BUDGET - fixed) // (218 * nx)) // 8 * 8)
+    for ty in (128, 64, 32, 16, 8):
         if ny % ty == 0 and max(k, 8) <= ty <= budget_rows:
             return ty
     return None
@@ -86,14 +89,16 @@ def _vmem_estimate(ny: int, nx: int, k: int) -> int | None:
         + 2 * (ty + 8) * nx * 4  # f32 masks (main + bottom halo)
         + (9 + 1) * 8 * nx * 4  # wrap DMA landing
         + (9 + 1) * k * nx * 4  # parked rows
+        + 72 * (ty + 2 * k) * nx  # lean ping-pong windows
     )
 
 
 def best_k(ny: int, nx: int) -> int | None:
-    """Best K with ty=64 tiles (measured, lean body, interleaved):
-    4096^2 K=8 16.4 > K=4 15.6 > K=2 14.3 GLUPS best (deep traffic cut
-    wins when DMA binds hardest); 2048^2 K=4 16.0 > K=8 13.7 (VPU floor
-    closer).  Seam guard: 4K <= ty keeps redundant compute <= 50%."""
+    """Best K (measured, lean body, interleaved): 4096^2/ty=64 K=8 16.4 >
+    K=4 15.6 > K=2 14.3 GLUPS best (deep traffic cut wins when DMA binds
+    hardest); 2048^2 K=4 > K=8 at both ty=64 (16.0 vs 13.7) and ty=128
+    (16.1 vs 15.2) — the VPU floor is closer, so seam recompute rules.
+    Seam guard: 4K <= ty keeps redundant compute <= 50%."""
     order = (8, 6, 4, 3, 2) if ny * nx > 2048 * 2048 else (4, 6, 8, 3, 2)
     for k in order:
         if not supported(ny, nx, k):
