@@ -93,6 +93,10 @@ def _run_sim(sim: Simulation, args):
         shard_kernel=args.shard_kernel,
         mesh=mesh,
         ca_steps=args.ca_steps,
+        # leave results on device: the CLI times the device->host transfer
+        # as the Collate phase (the reference's compute/collate split,
+        # d2q9-bgk.c:177-213)
+        fetch=False,
     )
 
 
@@ -142,6 +146,16 @@ def main(argv: list[str] | None = None) -> int:
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)
 
+    with timers.phase("collate"):
+        # the TPU realization of "Collate data from ranks here"
+        # (d2q9-bgk.c:208): pull the device-resident results to host.
+        # A deferred --check-finite runs on the collated arrays.
+        try:
+            result.collate()
+        except FloatingPointError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+
     if args.debug:
         if result.densities is None:
             # backends that keep the whole loop on-device (sharded) don't
@@ -157,9 +171,9 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"av velocity: {av:.12E}")
                 print(f"tot density: {dens:.12E}")
 
-    with timers.phase("collate"):
-        # device->host transfer happened inside run(); here we only format.
-        reynolds = result.reynolds
+    # the reference computes Reynolds after the total timer stops
+    # (d2q9-bgk.c:213-217), so this stays untimed
+    reynolds = result.reynolds
 
     print("==done==")
     print(f"Reynolds number:\t\t{reynolds:.12E}")

@@ -75,6 +75,22 @@ class SimulationResult:
         lbm_io.write_av_vels(av, self.av_vels)
         return fs, av
 
+    def collate(self) -> "SimulationResult":
+        """Materialize device results to host — the reference's Collate
+        phase (d2q9-bgk.c:203-213; the MPI stub at :208).  On TPU the
+        device->host transfer IS the collation, and it is NOT part of
+        compute: ``Simulation.run(fetch=False)`` leaves results on device
+        so the CLI can time this separately, like the reference's timer
+        split.  Idempotent; applies a deferred ``check_finite``."""
+        self.f_final = np.asarray(jax.device_get(self.f_final))
+        self.av_vels = np.asarray(jax.device_get(self.av_vels))
+        if self.densities is not None:
+            self.densities = np.asarray(jax.device_get(self.densities))
+        if getattr(self, "_check_finite_pending", False):
+            self._check_finite_pending = False
+            Simulation._assert_finite(self)
+        return self
+
 
 class Simulation:
     """One configured D2Q9-BGK run: params + obstacle mask + backend."""
@@ -250,6 +266,7 @@ class Simulation:
         shard_kernel: str = "jnp",
         mesh: tuple[int, int] | None = None,
         ca_steps: int = 1,
+        fetch: bool = True,
     ) -> SimulationResult:
         """Execute the main loop fully on-device and fetch results.
 
@@ -260,6 +277,11 @@ class Simulation:
         every K steps (communication-avoiding ghost zones, 1-D jnp path).
         ``checkpoint_every`` snapshots the distribution array every N steps
         (utils/checkpoint.py); ``resume`` restarts from the latest snapshot.
+        ``fetch=False`` waits for the computation but leaves the result
+        arrays on device — call ``result.collate()`` to bring them to host
+        (the CLI times that as the Collate phase, mirroring the reference's
+        compute/collate timer split; a deferred ``check_finite`` then runs
+        at collate time).
         """
         iters = self.params.max_iters if n_iters is None else n_iters
         sharded = (
@@ -310,15 +332,29 @@ class Simulation:
                 f_final, av_vels = out
                 densities = None
 
+        if fetch:
+            f_final = np.asarray(jax.device_get(f_final))
+            av_vels = np.asarray(jax.device_get(av_vels))
+            densities = None if densities is None else np.asarray(densities)
+        else:
+            # computation must FINISH inside the caller's compute window
+            # (dispatch is async); only the transfer is deferred to collate()
+            f_final.block_until_ready()
+            av_vels.block_until_ready()
+            if densities is not None:
+                densities.block_until_ready()
         result = SimulationResult(
             params=self.params,
-            f_final=np.asarray(jax.device_get(f_final)),
-            av_vels=np.asarray(jax.device_get(av_vels)),
-            densities=None if densities is None else np.asarray(densities),
+            f_final=f_final,
+            av_vels=av_vels,
+            densities=densities,
         )
         result._obstacles_cache = self.obstacles
         if check_finite:
-            self._assert_finite(result)
+            if fetch:
+                self._assert_finite(result)
+            else:
+                result._check_finite_pending = True
         return result
 
     @staticmethod
@@ -404,6 +440,18 @@ class Simulation:
                 return jax.jit(
                     lambda ff, oo, _n=seg: resident.resident_run(
                         ff, oo, self.params, n_iters=_n
+                    ),
+                    donate_argnums=0,
+                )
+        elif self.backend == "pallask" and not debug:
+            from advanced_hpc_lbm_tpu.ops import pallas_k
+
+            kk = pallas_k.best_k(self.params.ny, self.params.nx)
+
+            def make_runner(seg):
+                return jax.jit(
+                    lambda ff, oo, _n=seg: pallas_k.run(
+                        ff, oo, self.params, n_iters=_n, k=kk
                     ),
                     donate_argnums=0,
                 )

@@ -40,7 +40,12 @@ def build_deck(nx: int, ny: int, max_iters: int):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=2000)
+    # full reference deck length (input_1024x1024.params): each runner call
+    # through the device tunnel pays a ~58 ms fixed dispatch/round-trip cost
+    # (measured by the 48/480/4800-step interleaved probe, BENCH.md), so
+    # short timed calls under-report the kernel by up to 2x — 20000 steps
+    # amortizes it to ~3%
+    ap.add_argument("--iters", type=int, default=20000)
     ap.add_argument("--size", default="1024x1024")
     ap.add_argument(
         "--backend",
