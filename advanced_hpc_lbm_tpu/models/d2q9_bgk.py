@@ -281,7 +281,9 @@ class Simulation:
         arrays on device — call ``result.collate()`` to bring them to host
         (the CLI times that as the Collate phase, mirroring the reference's
         compute/collate timer split; a deferred ``check_finite`` then runs
-        at collate time).
+        at collate time).  Exception: checkpointed runs fetch per segment
+        regardless (snapshots are host-side), so there ``collate()`` is a
+        no-op and ``check_finite`` applies during the run.
         """
         iters = self.params.max_iters if n_iters is None else n_iters
         sharded = (
@@ -338,11 +340,16 @@ class Simulation:
             densities = None if densities is None else np.asarray(densities)
         else:
             # computation must FINISH inside the caller's compute window
-            # (dispatch is async); only the transfer is deferred to collate()
+            # (dispatch is async); only the bulk transfer is deferred to
+            # collate().  block_until_ready alone has under-reported
+            # through the device tunnel (CLAUDE.md), so also materialize a
+            # 4-byte token from the run's last output to host — a real
+            # round-trip pinned to completion, without the bulk bytes.
             f_final.block_until_ready()
             av_vels.block_until_ready()
             if densities is not None:
                 densities.block_until_ready()
+            np.asarray(av_vels[-1:])
         result = SimulationResult(
             params=self.params,
             f_final=f_final,
@@ -433,39 +440,11 @@ class Simulation:
                         ca_steps=ca_steps,
                     )
                 return _run
-        elif self.backend == "resident" and not debug:
-            from advanced_hpc_lbm_tpu.ops import resident
-
-            def make_runner(seg):
-                return jax.jit(
-                    lambda ff, oo, _n=seg: resident.resident_run(
-                        ff, oo, self.params, n_iters=_n
-                    ),
-                    donate_argnums=0,
-                )
-        elif self.backend == "pallask" and not debug:
-            from advanced_hpc_lbm_tpu.ops import pallas_k
-
-            kk = pallas_k.best_k(self.params.ny, self.params.nx)
-
-            def make_runner(seg):
-                return jax.jit(
-                    lambda ff, oo, _n=seg: pallas_k.run(
-                        ff, oo, self.params, n_iters=_n, k=kk
-                    ),
-                    donate_argnums=0,
-                )
         else:
-            step_fn = self._step_fn or fused.fused_step
-
+            # same executables a straight run would use (incl. the
+            # whole-run resident/pallask kernels and their guards)
             def make_runner(seg):
-                return jax.jit(
-                    lambda ff, oo, _n=seg: fused.run_simulation(
-                        ff, oo, self.params, n_iters=_n, step_fn=step_fn,
-                        collect_density=debug,
-                    ),
-                    donate_argnums=0,
-                )
+                return self._make_device_runner(seg, debug)
 
         runner = None
         seg_len_compiled = None

@@ -23,6 +23,8 @@ params file, independent trajectories.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +34,29 @@ from advanced_hpc_lbm_tpu.ops import fused, reference
 from advanced_hpc_lbm_tpu.params import LBMParams
 
 __all__ = ["batch_initial_state", "batch_run", "replicate"]
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted(params: LBMParams, n_iters, step_fn, mesh, axis):
+    """One jitted B-deck runner per configuration — compiles are seconds
+    to minutes on this hardware, so re-tracing per batch_run call (a fresh
+    closure defeats jax.jit's cache) must not happen."""
+
+    def one(f, obst):
+        return fused.run_simulation(
+            f, obst, params, n_iters=n_iters, step_fn=step_fn
+        )
+
+    vrun = jax.vmap(one)
+    if mesh is None:
+        return jax.jit(vrun)
+    return jax.jit(
+        vrun,
+        out_shardings=(
+            NamedSharding(mesh, P(axis, None, None, None)),
+            NamedSharding(mesh, P(axis, None)),
+        ),
+    )
 
 
 def batch_initial_state(params: LBMParams, batch: int) -> jax.Array:
@@ -82,15 +107,8 @@ def batch_run(
             f"{f0.shape} and {obstacles.shape}"
         )
 
-    def one(f, obst):
-        return fused.run_simulation(
-            f, obst, params, n_iters=n_iters, step_fn=step_fn
-        )
-
-    vrun = jax.vmap(one)
-
     if mesh is None:
-        return jax.jit(vrun)(f0, obstacles)
+        return _jitted(params, n_iters, step_fn, None, None)(f0, obstacles)
 
     axis = mesh_axis if mesh_axis is not None else mesh.axis_names[0]
     n_dev = mesh.shape[axis]
@@ -101,10 +119,4 @@ def batch_run(
         )
     f0 = jax.device_put(f0, NamedSharding(mesh, P(axis, None, None, None)))
     obstacles = jax.device_put(obstacles, NamedSharding(mesh, P(axis, None, None)))
-    return jax.jit(
-        vrun,
-        out_shardings=(
-            NamedSharding(mesh, P(axis, None, None, None)),
-            NamedSharding(mesh, P(axis, None)),
-        ),
-    )(f0, obstacles)
+    return _jitted(params, n_iters, step_fn, mesh, axis)(f0, obstacles)
