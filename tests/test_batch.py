@@ -88,6 +88,20 @@ def test_replicated_decks_identical_trajectories(decks):
         np.testing.assert_array_equal(avs[b], avs[0])
 
 
+def test_batch_runner_is_cached(decks):
+    """Repeated batch_run calls with the same configuration must reuse the
+    jitted runner (compiles are seconds-to-minutes on the real device)."""
+    params, masks = decks
+    before = batch._jitted.cache_info().hits
+    for _ in range(2):
+        batch.batch_run(
+            batch.batch_initial_state(params, 2),
+            jnp.asarray(masks[:2]),
+            params,
+        )
+    assert batch._jitted.cache_info().hits > before
+
+
 def test_batch_shape_validation(decks):
     params, masks = decks
     f0 = batch.batch_initial_state(params, 3)
