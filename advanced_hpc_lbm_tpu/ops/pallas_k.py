@@ -94,12 +94,13 @@ def _vmem_estimate(ny: int, nx: int, k: int) -> int | None:
 
 
 def best_k(ny: int, nx: int) -> int | None:
-    """Best K (measured, lean body, interleaved): 4096^2/ty=64 K=8 16.4 >
-    K=4 15.6 > K=2 14.3 GLUPS best (deep traffic cut wins when DMA binds
-    hardest); 2048^2 K=4 > K=8 at both ty=64 (16.0 vs 13.7) and ty=128
-    (16.1 vs 15.2) — the VPU floor is closer, so seam recompute rules.
+    """Best K (measured, lean body, long interleaved calls): the lean step
+    made the kernel compute-leaning, so moderate K with less seam
+    recompute wins — 8192^2/ty=32 K=6 16.06 > K=4 15.91 > K=8 15.51
+    GLUPS (seam 2K/ty: 37.5% vs 50%); 4096^2/ty=64 K=6 == K=8 (18.15 vs
+    18.14); 2048^2/ty=128 K=4 == K=3 (20.6 vs 20.7, noise) and > K=8.
     Seam guard: 4K <= ty keeps redundant compute <= 50%."""
-    order = (8, 6, 4, 3, 2) if ny * nx > 2048 * 2048 else (4, 6, 8, 3, 2)
+    order = (6, 8, 4, 3, 2) if ny * nx > 2048 * 2048 else (4, 6, 8, 3, 2)
     for k in order:
         if not supported(ny, nx, k):
             continue

@@ -23,7 +23,7 @@ def make_deck(ny, nx, seed=5):
 
 
 @pytest.mark.parametrize("lean", [False, True], ids=["naive", "lean"])
-@pytest.mark.parametrize("k", [2, 3, 4, 8])
+@pytest.mark.parametrize("k", [2, 3, 4, 6, 8])
 def test_multi_step_matches_oracle(k, lean):
     params, obst = make_deck(64, 128)
     n_fluid = jnp.sum(~obst).astype(jnp.float32)
