@@ -54,6 +54,34 @@ def test_multi_step_matches_oracle(k, lean):
     np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
 
 
+@pytest.mark.parametrize("lean", [False, True], ids=["naive", "lean"])
+def test_single_tile_grid_matches_oracle(lean):
+    """ty == ny (one tile owns the whole grid): the top halo wrap rows,
+    parked-row re-park and bottom halo all alias the same tile — the
+    shape the ty=128 pick produces on 128-row decks."""
+    params, obst = make_deck(32, 128, seed=5)
+    n_fluid = jnp.sum(~obst).astype(jnp.float32)
+    k = 4
+    fa, ava = fused.run_simulation(
+        reference.initial_state(params), obst, params, n_iters=k
+    )
+    import os
+
+    os.environ["LBM_PALLASK_TY"] = "32"  # == ny -> grid=(1,)
+    try:
+        fb, avb = pallas_k.multi_step(
+            reference.initial_state(params),
+            pallas_k.prepare_obstacles(obst),
+            n_fluid, params, k, interpret=True, lean=lean,
+        )
+    finally:
+        del os.environ["LBM_PALLASK_TY"]
+    np.testing.assert_allclose(
+        np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
+
+
 @pytest.mark.parametrize("k", [3, 4])
 def test_run_matches_oracle_with_tail(k):
     """Full runner incl. the 1-step-kernel tail for iters % k != 0."""
