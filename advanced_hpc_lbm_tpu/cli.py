@@ -72,7 +72,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--ca-steps", type=int, default=1, metavar="K",
         help="steps per halo exchange on the sharded 1-D ring "
-             "(communication-avoiding ghost zones; jnp kernel only)",
+             "(communication-avoiding ghost zones; with --shard-kernel pallas the Mosaic CA window kernel, VMEM-gated)",
     )
     return p
 

@@ -364,6 +364,193 @@ def local_step_2d(
     return f_next, jnp.sum(tots)
 
 
+# ---------------------------------------------------------------------------
+# Communication-avoiding K-step local kernel (ghost-zone trapezoid per shard)
+# ---------------------------------------------------------------------------
+
+_CA_VMEM_BUDGET = 80 * 1024 * 1024
+_CA_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def ca_supported(ny_local: int, nx: int, k: int) -> bool:
+    """The CA kernel holds the whole ±K ghost window in VMEM (one operand
+    + two ping-pong scratch buffers + the own-rows output + masks) — it
+    targets exactly the thin-slab regime where exchange latency dominates,
+    and those windows are small.  Gate on the VMEM budget."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+    r = ny_local + 2 * k
+    est = (
+        3 * 9 * r * nx * 4  # window operand + 2 scratch
+        + 9 * ny_local * nx * 4  # own-rows output
+        + 2 * r * nx * 4  # obstacle + forcing mask planes
+    )
+    return (
+        on_tpu
+        and 2 <= k <= 8
+        and nx % _LANE == 0
+        and ny_local % 8 == 0
+        and ny_local >= 2 * k
+        and est <= _CA_VMEM_BUDGET
+    )
+
+
+def _local_ca_kernel(
+    w_ref, obst_ref, accel_ref, out_ref, tot_ref, wa, wb,
+    *, params: LBMParams, k: int, ly: int, nx: int,
+):
+    """K steps on the (9, ly+2K, nx) ghost-extended window of one shard —
+    the wire analogue of ops.pallas_k._kernel_k_lean with all the periodic
+    machinery removed: ghosts arrive as operand rows (shipped by ring
+    ppermute in parallel.halo), every step runs over the FULL window with
+    wrapping rolls whose garbage lands exactly in the rows the trapezoid
+    invalidates, and the forcing rows come in as a precomputed 0/1 plane
+    (the global forcing row can appear TWICE in a window — as a shard's
+    own row and as another's ghost image — so a mask, not an index).
+    Liveness-lean step body, same fp op order as kernel_common.collide."""
+    zero = jnp.float32(0.0)
+    T = ly + 2 * k
+
+    w_obst = obst_ref[...] != 0.0
+    accel_T = accel_ref[...] != 0.0
+    obst_own = jax.lax.slice_in_dim(obst_ref[...], k, k + ly, axis=0) != 0.0
+
+    w1a, w2a = params.accel_w1, params.accel_w2
+    omega = params.omega_f32
+    om1 = jnp.float32(1.0) - omega
+    deltas = {1: w1a, 5: w2a, 8: w2a, 3: -w1a, 6: -w2a, 7: -w2a}
+
+    for s in range(k):
+        src = w_ref if s == 0 else (wa if s % 2 == 1 else wb)
+        dst = wa if s % 2 == 0 else wb
+        ok = (
+            accel_T
+            & jnp.logical_not(w_obst)
+            & (src[3] - w1a > 0.0)
+            & (src[6] - w2a > 0.0)
+            & (src[7] - w2a > 0.0)
+        )
+        for kk in range(lattice.NSPEEDS):
+            cy, cx = int(lattice.CY[kk]), int(lattice.CX[kk])
+            plane = src[kk]
+            dv = deltas.get(kk)
+            if dv is not None:
+                plane = plane + jnp.where(ok, jnp.float32(dv), zero)
+            if cy:
+                plane = pltpu.roll(plane, cy % T, axis=0)
+            if cx:
+                plane = pltpu.roll(plane, cx % nx, axis=1)
+            dst[kk] = plane
+
+        rho = dst[0]
+        for kk in range(1, lattice.NSPEEDS):
+            rho = rho + dst[kk]
+        inv_rho = 1.0 / rho
+        u_x = (dst[1] + dst[5] + dst[8] - dst[3] - dst[6] - dst[7]) * inv_rho
+        u_y = (dst[2] + dst[5] + dst[6] - dst[4] - dst[7] - dst[8]) * inv_rho
+        u_sq = u_x * u_x + u_y * u_y
+        norm = jnp.sqrt(jax.lax.slice_in_dim(u_sq, k, k + ly, axis=0))
+        tot_ref[0, s] = jnp.sum(jnp.where(obst_own, zero, norm))
+        base = 1.0 - u_sq * jnp.float32(1.5)
+
+        s0 = dst[0]
+        dst[0] = jnp.where(
+            w_obst, s0,
+            (jnp.float32(lattice.W[0]) * omega) * rho * base + om1 * s0,
+        )
+
+        def pair(kk, cu):
+            ko = int(lattice.OPP[kk])
+            sk, sko = dst[kk], dst[ko]
+            tw = (jnp.float32(lattice.W[kk]) * omega) * rho
+            even = base + (cu * cu) * jnp.float32(4.5)
+            odd = cu * jnp.float32(3.0)
+            dst[kk] = jnp.where(w_obst, sko, tw * (even + odd) + om1 * sk)
+            dst[ko] = jnp.where(w_obst, sk, tw * (even - odd) + om1 * sko)
+
+        pair(1, u_x)
+        pair(2, u_y)
+        pair(5, u_x + u_y)
+        pair(8, u_x - u_y)
+
+    final = wa if k % 2 == 1 else wb
+    for kk in range(lattice.NSPEEDS):
+        out_ref[kk] = jax.lax.slice_in_dim(final[kk], k, k + ly, axis=0)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_call_ca(
+    params: LBMParams, ly: int, nx: int, k: int, interpret: bool
+):
+    r = ly + 2 * k
+    kernel = functools.partial(
+        _local_ca_kernel, params=params, k=k, ly=ly, nx=nx
+    )
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((9, r, nx), lambda i: (0, 0, 0), memory_space=vm),
+            pl.BlockSpec((r, nx), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((r, nx), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, ly, nx), lambda i: (0, 0, 0), memory_space=vm),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, ly, nx), jnp.float32),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, r, nx), jnp.float32),
+            pltpu.VMEM((9, r, nx), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(130 * k * r * nx),
+            bytes_accessed=int((36 * (2 * r + ly) + 8 * r) * nx),
+            transcendentals=int(k * r * nx),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_CA_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )
+
+
+def local_ca_steps(
+    window: jax.Array,
+    obst_window_f32: jax.Array,
+    accel_window_f32: jax.Array,
+    params: LBMParams,
+    k: int,
+    *,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Advance a shard K steps from its ±K ghost-extended window.
+
+    Args:
+      window: (9, ly+2K, nx) pre-step distributions — own rows [K, K+ly)
+        plus K neighbor rows each side (delivered by ring ppermute).
+      obst_window_f32 / accel_window_f32: (ly+2K, nx) fp32 0/1 planes —
+        the window-extended obstacle mask and forcing-row (global ny-2)
+        mask, loop-invariant (build once per run).
+      params: static run parameters.
+      k: ghost depth = steps per exchange.
+
+    Returns (f_own (9, ly, nx), tots (k,)) — per-step ||u|| partial sums
+    over the shard's own fluid cells (psum and divide outside).
+    """
+    _, r, nx = window.shape
+    ly = r - 2 * k
+    call = _build_call_ca(params, ly, nx, k, interpret)
+    f_own, tots = call(window, obst_window_f32, accel_window_f32)
+    return f_own, tots[0]
+
+
 def local_step(
     f_local: jax.Array,
     top_halo: jax.Array,

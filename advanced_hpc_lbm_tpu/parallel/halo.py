@@ -206,6 +206,28 @@ def _local_pallas_step(f, obstacles8, n_fluid, params, axis: str, interpret):
     return f_next, av
 
 
+def _local_pallas_ca_steps(
+    f, obst_ext_f, accel_ext_f, n_fluid, params, axis: str, k: int, interpret
+):
+    """K steps per exchange where the ±K ghost window runs the Mosaic CA
+    kernel (ops.pallas_local.local_ca_steps) — the full production
+    multi-chip configuration: compute on-core, K× fewer ring latencies.
+    ``obst_ext_f`` / ``accel_ext_f`` are the (ly+2K, nx) fp32 mask planes,
+    loop-invariant (built once by make_sharded_runner)."""
+    from advanced_hpc_lbm_tpu.ops import pallas_local
+
+    n = jax.lax.psum(1, axis)
+    fwd = [(j, (j + 1) % n) for j in range(n)]
+    bwd = [(j, (j - 1) % n) for j in range(n)]
+    top_halo = jax.lax.ppermute(f[:, -k:, :], axis, fwd)
+    bot_halo = jax.lax.ppermute(f[:, :k, :], axis, bwd)
+    window = jnp.concatenate([top_halo, f, bot_halo], axis=1)
+    f_next, tots = pallas_local.local_ca_steps(
+        window, obst_ext_f, accel_ext_f, params, k, interpret=interpret
+    )
+    return f_next, jax.lax.psum(tots, axis) / n_fluid
+
+
 def make_sharded_runner(
     mesh: Mesh,
     params: LBMParams,
@@ -219,18 +241,73 @@ def make_sharded_runner(
 
     ``kernel``: "jnp" (XLA-fused local step, runs anywhere) or "pallas"
     (ops.pallas_local Mosaic kernel per shard — the TPU production path).
-    ``ca_steps`` > 1 (jnp kernel only) runs K steps per halo exchange via
-    communication-avoiding ghost zones — K× fewer ring latencies for
-    2K/ly extra seam compute (_local_fused_ca_steps).
+    ``ca_steps`` > 1 runs K steps per halo exchange via communication-
+    avoiding ghost zones — K× fewer ring latencies for 2K/ly extra seam
+    compute (_local_fused_ca_steps; with kernel="pallas" the whole ±K
+    window runs the Mosaic CA kernel, gated on pallas_local.ca_supported).
     Returns (runner, shardings) where runner(f0, obstacles, row_mask,
     n_fluid) -> (f_final, av_vels)."""
-    if ca_steps > 1 and kernel != "jnp":
-        raise ValueError("ca_steps > 1 is supported on the jnp kernel only")
     f_spec = P(None, axis, None)
     grid_spec = P(axis, None)
     row_spec = P(axis)
 
     def whole_run(f, obstacles, row_mask, n_fluid):
+        if kernel == "pallas" and ca_steps > 1:
+            from advanced_hpc_lbm_tpu.ops import pallas_local
+
+            k = ca_steps
+            ly = f.shape[1]
+            if not interpret and not pallas_local.ca_supported(
+                ly, f.shape[2], k
+            ):
+                raise ValueError(
+                    f"ca_steps={k} with the pallas kernel needs the "
+                    f"{ly}x{f.shape[2]} +-{k} shard window to fit VMEM "
+                    "(pallas_local.ca_supported); use kernel='jnp' or a "
+                    "thinner shard"
+                )
+            n = jax.lax.psum(1, axis)
+            fwd = [(j, (j + 1) % n) for j in range(n)]
+            bwd = [(j, (j - 1) % n) for j in range(n)]
+            obst_ext_f = jnp.concatenate([
+                jax.lax.ppermute(obstacles[-k:], axis, fwd),
+                obstacles,
+                jax.lax.ppermute(obstacles[:k], axis, bwd),
+            ], axis=0).astype(jnp.float32)
+            row_ext = jnp.concatenate([
+                jax.lax.ppermute(row_mask[-k:], axis, fwd),
+                row_mask,
+                jax.lax.ppermute(row_mask[:k], axis, bwd),
+            ], axis=0)
+            accel_ext_f = jnp.broadcast_to(
+                row_ext[:, None], obst_ext_f.shape
+            ).astype(jnp.float32)
+
+            def one_ca(carry_f):
+                return _local_pallas_ca_steps(
+                    carry_f, obst_ext_f, accel_ext_f, n_fluid, params,
+                    axis, k, interpret,
+                )
+
+            # two CA calls per scan iteration (opaque-call carry rule,
+            # see ops.fused.run_simulation)
+            def body_cap(carry_f, _):
+                f1, a1 = one_ca(carry_f)
+                f2, a2 = one_ca(f1)
+                return f2, jnp.concatenate([a1, a2])
+
+            f, av_chunks = jax.lax.scan(
+                body_cap, f, None, length=n_iters // (2 * k)
+            )
+            avs = av_chunks.reshape(-1)
+            obstacles8 = obstacles.astype(jnp.int8)
+            for _ in range(n_iters % (2 * k)):  # static tail, 1-step kernel
+                f, av_last = _local_pallas_step(
+                    f, obstacles8, n_fluid, params, axis, interpret
+                )
+                avs = jnp.concatenate([avs, av_last[None]])
+            return f, avs
+
         if kernel == "pallas":
             from advanced_hpc_lbm_tpu.ops import pallas_local as _pk  # noqa: F401
 
@@ -524,7 +601,7 @@ def run_sharded(
     ops.fused.run_simulation (same outputs, same numerics up to fp
     reduction order).  kernel="pallas" runs the Mosaic local kernel per
     shard (TPU production path); ca_steps=K > 1 exchanges halos every K
-    steps (communication-avoiding ghost zones, jnp kernel)."""
+    steps (communication-avoiding ghost zones; composes with kernel="pallas" via the Mosaic CA window kernel when the window fits VMEM)."""
     iters = params.max_iters if n_iters is None else n_iters
     mesh = make_y_mesh(n_devices)
     n = mesh.devices.size

@@ -202,6 +202,37 @@ def test_comm_avoiding_matches_single(deck, n_devices, k):
     np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
 
 
+@pytest.mark.parametrize("n_devices,k", [(2, 2), (4, 4), (8, 3)])
+def test_comm_avoiding_pallas_matches_single(n_devices, k):
+    """CA + Mosaic composition: the whole ±K ghost window runs the lean
+    CA kernel per shard (interpret mode here).  Includes the 1-step-kernel
+    tail and the forcing row's double appearance (own + ghost image) when
+    the last shard's window wraps."""
+    params = LBMParams(
+        nx=128, ny=64, max_iters=32, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    rng = np.random.RandomState(23)
+    mask = np.zeros((params.ny, params.nx), dtype=bool)
+    mask[0] = mask[-1] = True
+    mask[20:28, 40:70] = True
+    for _ in range(6):
+        mask[rng.randint(1, params.ny - 1), rng.randint(0, params.nx)] = True
+    obst = jnp.asarray(mask)
+    n_iters = 4 * k + 1  # >= two scan pairs + tail
+    f0 = reference.initial_state(params)
+    fa, ava = fused.run_simulation(f0, obst, params, n_iters=n_iters)
+    fb, avb = halo.run_sharded(
+        reference.initial_state(params), obst, params,
+        n_iters=n_iters, n_devices=n_devices, ca_steps=k,
+        kernel="pallas", interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
+
+
 def test_comm_avoiding_rejects_thin_slabs(deck):
     params, mask = deck
     f0 = reference.initial_state(params)
