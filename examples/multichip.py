@@ -42,6 +42,11 @@ obstacles = jnp.asarray(mask)
 runs = {
     "1-D ring (8 devices)": dict(n_devices=8),
     "1-D ring, comm-avoiding K=4": dict(n_devices=8, ca_steps=4),
+    # the production composition: Mosaic CA window kernel per shard
+    # (interpret=True emulates the TPU kernel on these CPU devices)
+    "1-D ring, CA K=4 + Mosaic": dict(
+        n_devices=8, ca_steps=4, kernel="pallas", interpret=True
+    ),
 }
 results = {}
 for name, kw in runs.items():
