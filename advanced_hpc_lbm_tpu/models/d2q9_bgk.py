@@ -274,7 +274,9 @@ class Simulation:
         #ifdef DEBUG stream, d2q9-bgk.c:196-200).  ``devices`` > 1 selects
         the sharded path over a 1-D y mesh (parallel/halo.py); ``mesh`` =
         (my, mx) selects the 2-D torus; ``ca_steps`` = K exchanges halos
-        every K steps (communication-avoiding ghost zones, 1-D jnp path).
+        every K steps (communication-avoiding ghost zones, 1-D path; with
+        ``shard_kernel="pallas"`` the ±K window runs the Mosaic CA kernel,
+        VMEM-gated).
         ``checkpoint_every`` snapshots the distribution array every N steps
         (utils/checkpoint.py); ``resume`` restarts from the latest snapshot.
         ``fetch=False`` waits for the computation but leaves the result

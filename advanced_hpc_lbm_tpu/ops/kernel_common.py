@@ -92,3 +92,87 @@ def forced(planes, obst, row_is_accel, params: LBMParams):
     for k, dv in ((1, w1), (5, w2), (8, w2), (3, -w1), (6, -w2), (7, -w2)):
         out[k] = planes[k] + jnp.where(ok, jnp.float32(dv), zero)
     return out
+
+
+def lean_window_step(src, dst, w_obst, accel_T, params: LBMParams, T: int, nx: int):
+    """One liveness-lean force+stream+collide step over a full (T, nx)
+    window: each plane is forced and pull-rolled straight from ``src[kk]``
+    into ``dst[kk]`` (Pallas refs or any plane-indexable buffers), then
+    moments come from dst reloads and each collision pair is stored as
+    computed — peak liveness stays a handful of planes, which is what
+    lets whole windows sit in VMEM without Mosaic spill round-trips
+    (BENCH.md "The liveness-lean resident step").
+
+    The y-roll wraps at the window edge; ghost-zone callers rely on the
+    wrap garbage landing exactly in the rows the trapezoid invalidates
+    (ops.pallas_k._kernel_k_lean for the periodic single-chip tiles,
+    ops.pallas_local._local_ca_kernel for sharded ±K ghost windows).
+    Same fp op order as :func:`collide` — the oracle contract.
+
+    Args:
+      src / dst: plane-indexable window buffers, ``src[kk]`` -> (T, nx).
+      w_obst: (T, nx) bool obstacle window.
+      accel_T: (T, nx) bool — True on (every image of) global row ny-2.
+      T, nx: window shape (the roll moduli).
+
+    Returns u_sq (T, nx) of the post-stream (= post-collision) moments
+    for the caller's own-rows reduction slice.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    zero = jnp.float32(0.0)
+    w1a, w2a = params.accel_w1, params.accel_w2
+    omega = params.omega_f32
+    om1 = jnp.float32(1.0) - omega
+    deltas = {1: w1a, 5: w2a, 8: w2a, 3: -w1a, 6: -w2a, 7: -w2a}
+
+    ok = (
+        accel_T
+        & jnp.logical_not(w_obst)
+        & (src[3] - w1a > 0.0)
+        & (src[6] - w2a > 0.0)
+        & (src[7] - w2a > 0.0)
+    )
+    # phase A: force + pull-stream each plane into dst (full window)
+    for kk in range(lattice.NSPEEDS):
+        cy, cx = int(lattice.CY[kk]), int(lattice.CX[kk])
+        plane = src[kk]
+        dv = deltas.get(kk)
+        if dv is not None:
+            plane = plane + jnp.where(ok, jnp.float32(dv), zero)
+        if cy:
+            plane = pltpu.roll(plane, cy % T, axis=0)
+        if cx:
+            plane = pltpu.roll(plane, cx % nx, axis=1)
+        dst[kk] = plane
+
+    # phase B: moments + pairwise BGK + bounce-back, in place on dst
+    rho = dst[0]
+    for kk in range(1, lattice.NSPEEDS):
+        rho = rho + dst[kk]
+    inv_rho = 1.0 / rho
+    u_x = (dst[1] + dst[5] + dst[8] - dst[3] - dst[6] - dst[7]) * inv_rho
+    u_y = (dst[2] + dst[5] + dst[6] - dst[4] - dst[7] - dst[8]) * inv_rho
+    u_sq = u_x * u_x + u_y * u_y
+    base = 1.0 - u_sq * jnp.float32(1.5)
+
+    s0 = dst[0]
+    dst[0] = jnp.where(
+        w_obst, s0,
+        (jnp.float32(lattice.W[0]) * omega) * rho * base + om1 * s0,
+    )
+
+    def pair(kk, cu):
+        ko = int(lattice.OPP[kk])
+        sk, sko = dst[kk], dst[ko]
+        tw = (jnp.float32(lattice.W[kk]) * omega) * rho
+        even = base + (cu * cu) * jnp.float32(4.5)
+        odd = cu * jnp.float32(3.0)
+        dst[kk] = jnp.where(w_obst, sko, tw * (even + odd) + om1 * sk)
+        dst[ko] = jnp.where(w_obst, sk, tw * (even - odd) + om1 * sko)
+
+    pair(1, u_x)
+    pair(2, u_y)
+    pair(5, u_x + u_y)
+    pair(8, u_x - u_y)
+    return u_sq

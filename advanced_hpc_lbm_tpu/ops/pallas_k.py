@@ -250,70 +250,17 @@ def _kernel_k_lean(
         (jax.lax.broadcasted_iota(jnp.int32, (T, nx), 0) + i * ty - k) % ny
     ) == (ny - 2)
 
-    w1a, w2a = params.accel_w1, params.accel_w2
-    omega = params.omega_f32
-    om1 = jnp.float32(1.0) - omega
-    deltas = {1: w1a, 5: w2a, 8: w2a, 3: -w1a, 6: -w2a, 7: -w2a}
-
     src, dst = wa, wb
     for s in range(k):
-        # forcing predicate over the full window (pre-step planes)
-        ok = (
-            accel_T
-            & jnp.logical_not(w_obst)
-            & (src[3] - w1a > 0.0)
-            & (src[6] - w2a > 0.0)
-            & (src[7] - w2a > 0.0)
+        # the shared liveness-lean step (kernel_common.lean_window_step):
+        # force + pull-stream plane-at-a-time into dst (the y-roll wraps
+        # at the window edge = trapezoid garbage rows), then moments +
+        # pairwise BGK + bounce-back in place on dst
+        u_sq = kernel_common.lean_window_step(
+            src, dst, w_obst, accel_T, params, T, nx
         )
-        # phase A: force + pull-stream each plane into dst (full window;
-        # the y-roll wraps at the window edge = trapezoid garbage rows)
-        for kk in range(lattice.NSPEEDS):
-            cy, cx = int(lattice.CY[kk]), int(lattice.CX[kk])
-            plane = src[kk]
-            dv = deltas.get(kk)
-            if dv is not None:
-                plane = plane + jnp.where(ok, jnp.float32(dv), zero)
-            if cy:
-                plane = pltpu.roll(plane, cy % T, axis=0)
-            if cx:
-                plane = pltpu.roll(plane, cx % nx, axis=1)
-            dst[kk] = plane
-
-        # phase B: moments + pairwise BGK + bounce-back, in place on dst
-        rho = dst[0]
-        for kk in range(1, lattice.NSPEEDS):
-            rho = rho + dst[kk]
-        inv_rho = 1.0 / rho
-        u_x = (
-            dst[1] + dst[5] + dst[8] - dst[3] - dst[6] - dst[7]
-        ) * inv_rho
-        u_y = (
-            dst[2] + dst[5] + dst[6] - dst[4] - dst[7] - dst[8]
-        ) * inv_rho
-        u_sq = u_x * u_x + u_y * u_y
         norm = jnp.sqrt(jax.lax.slice_in_dim(u_sq, k, k + ty, axis=0))
         tot_ref[i, s] = jnp.sum(jnp.where(obst_main, zero, norm))
-        base = 1.0 - u_sq * jnp.float32(1.5)
-
-        s0 = dst[0]
-        dst[0] = jnp.where(
-            w_obst, s0,
-            (jnp.float32(lattice.W[0]) * omega) * rho * base + om1 * s0,
-        )
-
-        def pair(kk, cu):
-            ko = int(lattice.OPP[kk])
-            sk, sko = dst[kk], dst[ko]
-            tw = (jnp.float32(lattice.W[kk]) * omega) * rho
-            even = base + (cu * cu) * jnp.float32(4.5)
-            odd = cu * jnp.float32(3.0)
-            dst[kk] = jnp.where(w_obst, sko, tw * (even + odd) + om1 * sk)
-            dst[ko] = jnp.where(w_obst, sk, tw * (even - odd) + om1 * sko)
-
-        pair(1, u_x)
-        pair(2, u_y)
-        pair(5, u_x + u_y)
-        pair(8, u_x - u_y)
         src, dst = dst, src
 
     # after K steps (and the final swap) the state sits in `src`,

@@ -57,20 +57,14 @@ def _masked_accelerate(f, obstacles, row_mask, w1, w2):
 def _local_fused_step(f, obstacles, row_mask, n_fluid, params, axis: str):
     """One fused step on a local row slab, halo rows exchanged via ring
     ppermute over ``axis``."""
-    n = jax.lax.psum(1, axis)
-    fwd = [(j, (j + 1) % n) for j in range(n)]
-    bwd = [(j, (j - 1) % n) for j in range(n)]
-
     f = _masked_accelerate(f, obstacles, row_mask, params.accel_w1, params.accel_w2)
 
     # south halo = my south neighbor's top edge is wrong way around:
     # pull at local row 0 for north-moving speeds needs the neighbor
     # *below* (smaller y), i.e. its LAST row, delivered forward round the
     # ring; pull at the last local row for south-moving speeds needs the
-    # neighbor above's FIRST row, delivered backward.
-    south_halo = jax.lax.ppermute(f[:, -1:, :], axis, fwd)  # (9, 1, nx)
-    north_halo = jax.lax.ppermute(f[:, :1, :], axis, bwd)
-    f_ext = jnp.concatenate([south_halo, f, north_halo], axis=1)
+    # neighbor above's FIRST row, delivered backward (_extend_rows).
+    f_ext = _extend_rows(f, axis, 1, row_axis=1)
 
     local_ny = f.shape[1]
     planes = []
@@ -110,6 +104,24 @@ def _local_fused_step(f, obstacles, row_mask, n_fluid, params, axis: str):
     return f_next, av
 
 
+def _extend_rows(x, axis_name: str, k: int, row_axis: int = 0):
+    """±K ghost-extend ``x`` along its row axis via ring ppermute over
+    ``axis_name``: K rows from the neighbor below land on top, K from the
+    neighbor above below (ring wrap = global periodicity).  Shared by the
+    CA f-window assembly and the loop-invariant mask extension."""
+    n = jax.lax.psum(1, axis_name)
+    fwd = [(j, (j + 1) % n) for j in range(n)]
+    bwd = [(j, (j - 1) % n) for j in range(n)]
+    rows = x.shape[row_axis]
+    top = jax.lax.ppermute(
+        jax.lax.slice_in_dim(x, rows - k, rows, axis=row_axis), axis_name, fwd
+    )
+    bot = jax.lax.ppermute(
+        jax.lax.slice_in_dim(x, 0, k, axis=row_axis), axis_name, bwd
+    )
+    return jnp.concatenate([top, x, bot], axis=row_axis)
+
+
 def _local_fused_ca_steps(
     f, obst_ext, row_is_accel_ext, n_fluid, params, axis: str, k: int
 ):
@@ -125,14 +137,8 @@ def _local_fused_ca_steps(
     forcing-row mask, precomputed once per run (masks are loop-invariant,
     so their halos never need re-exchanging).
     """
-    n = jax.lax.psum(1, axis)
-    fwd = [(j, (j + 1) % n) for j in range(n)]
-    bwd = [(j, (j - 1) % n) for j in range(n)]
-
     ly = f.shape[1]
-    top_halo = jax.lax.ppermute(f[:, -k:, :], axis, fwd)  # rows lo-K..lo-1
-    bot_halo = jax.lax.ppermute(f[:, :k, :], axis, bwd)  # rows lo+ly..+K-1
-    w = jnp.concatenate([top_halo, f, bot_halo], axis=1)  # (9, ly+2K, nx)
+    w = _extend_rows(f, axis, k, row_axis=1)  # (9, ly+2K, nx)
 
     from advanced_hpc_lbm_tpu.ops import kernel_common
 
@@ -216,12 +222,7 @@ def _local_pallas_ca_steps(
     loop-invariant (built once by make_sharded_runner)."""
     from advanced_hpc_lbm_tpu.ops import pallas_local
 
-    n = jax.lax.psum(1, axis)
-    fwd = [(j, (j + 1) % n) for j in range(n)]
-    bwd = [(j, (j - 1) % n) for j in range(n)]
-    top_halo = jax.lax.ppermute(f[:, -k:, :], axis, fwd)
-    bot_halo = jax.lax.ppermute(f[:, :k, :], axis, bwd)
-    window = jnp.concatenate([top_halo, f, bot_halo], axis=1)
+    window = _extend_rows(f, axis, k, row_axis=1)
     f_next, tots = pallas_local.local_ca_steps(
         window, obst_ext_f, accel_ext_f, params, k, interpret=interpret
     )
@@ -257,28 +258,23 @@ def make_sharded_runner(
 
             k = ca_steps
             ly = f.shape[1]
-            if not interpret and not pallas_local.ca_supported(
-                ly, f.shape[2], k
-            ):
-                raise ValueError(
-                    f"ca_steps={k} with the pallas kernel needs the "
-                    f"{ly}x{f.shape[2]} +-{k} shard window to fit VMEM "
-                    "(pallas_local.ca_supported); use kernel='jnp' or a "
-                    "thinner shard"
-                )
-            n = jax.lax.psum(1, axis)
-            fwd = [(j, (j + 1) % n) for j in range(n)]
-            bwd = [(j, (j - 1) % n) for j in range(n)]
-            obst_ext_f = jnp.concatenate([
-                jax.lax.ppermute(obstacles[-k:], axis, fwd),
-                obstacles,
-                jax.lax.ppermute(obstacles[:k], axis, bwd),
-            ], axis=0).astype(jnp.float32)
-            row_ext = jnp.concatenate([
-                jax.lax.ppermute(row_mask[-k:], axis, fwd),
-                row_mask,
-                jax.lax.ppermute(row_mask[:k], axis, bwd),
-            ], axis=0)
+            if not interpret:
+                if not pallas_local.supported(ly, f.shape[2]):
+                    # also the tail path's requirement (1-step kernel)
+                    raise ValueError(
+                        f"{ly}x{f.shape[2]} shard not tileable for the "
+                        "pallas local kernel (TPU backend, lane-aligned "
+                        "nx, 8-multiple slab required)"
+                    )
+                if not pallas_local.ca_supported(ly, f.shape[2], k):
+                    raise ValueError(
+                        f"ca_steps={k} with the pallas kernel needs the "
+                        f"{ly}x{f.shape[2]} +-{k} shard window to fit "
+                        "VMEM (pallas_local.ca_supported); use "
+                        "kernel='jnp' or a thinner shard"
+                    )
+            obst_ext_f = _extend_rows(obstacles, axis, k).astype(jnp.float32)
+            row_ext = _extend_rows(row_mask, axis, k)
             accel_ext_f = jnp.broadcast_to(
                 row_ext[:, None], obst_ext_f.shape
             ).astype(jnp.float32)
@@ -335,20 +331,9 @@ def make_sharded_runner(
 
         if ca_steps > 1:
             k = ca_steps
-            n = jax.lax.psum(1, axis)
-            fwd = [(j, (j + 1) % n) for j in range(n)]
-            bwd = [(j, (j - 1) % n) for j in range(n)]
             # masks are loop-invariant: extend them by K halo rows ONCE
-            obst_ext = jnp.concatenate([
-                jax.lax.ppermute(obstacles[-k:], axis, fwd),
-                obstacles,
-                jax.lax.ppermute(obstacles[:k], axis, bwd),
-            ], axis=0)
-            row_ext = jnp.concatenate([
-                jax.lax.ppermute(row_mask[-k:], axis, fwd),
-                row_mask,
-                jax.lax.ppermute(row_mask[:k], axis, bwd),
-            ], axis=0)
+            obst_ext = _extend_rows(obstacles, axis, k)
+            row_ext = _extend_rows(row_mask, axis, k)
 
             def body_ca(carry_f, _):
                 return _local_fused_ca_steps(

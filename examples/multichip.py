@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Multi-chip domain decomposition, runnable on a laptop.
 
-Runs the same deck three ways on an 8-device mesh (virtual CPU devices
+Runs the same deck four ways on an 8-device mesh (virtual CPU devices
 here; real chips in production — the code is identical):
 
-  1-D ring       — row slabs, one halo row exchanged per step
-  1-D ring, CA   — K=4 rows exchanged every 4 steps (comm-avoiding)
-  2-D torus      — rows AND columns sharded, two-phase corner-free exchange
+  1-D ring         — row slabs, one halo row exchanged per step
+  1-D ring, CA     — K=4 rows exchanged every 4 steps (comm-avoiding)
+  CA + Mosaic      — the ±K window runs the Pallas CA kernel per shard
+  2-D torus        — rows AND columns sharded, two-phase corner-free exchange
 
     python examples/multichip.py
 """
