@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from advanced_hpc_lbm_tpu.ops import lattice
+from advanced_hpc_lbm_tpu.ops import kernel_common, lattice
 from advanced_hpc_lbm_tpu.params import LBMParams
 
 MASK_DTYPE = jnp.int8
@@ -67,75 +67,22 @@ def _one_step(
     ``dst``; appends the step's tot_u to avs_ref[t, 0].
 
     Same physics as kernel_common.forced + collide (oracle-tested in
-    interpret mode), but restructured for minimal whole-plane liveness:
-    the naive three-list form (forced, streamed, out) keeps ~18 planes
-    live at once, which Mosaic's register allocator turns into ~2
-    buffers' worth of VMEM spill slots — at 1024x1024 that alone is
-    70 MB and the kernel exceeds the 128 MiB chip VMEM.  Here each plane
-    is forced+rolled straight into ``dst`` (1-2 planes live), moments
-    are accumulated with reloads from ``dst``, and each collision pair
-    is stored the moment it is computed (the bounce-back partner is the
-    pair's other plane, so pairs retire their own loads)."""
-    zero = jnp.float32(0.0)
-
-    # ---- forcing predicate on row ny-2, from pre-step planes
-    # (d2q9-bgk.c:239-260); full-grid masked update — row-sliced writes
-    # at an unaligned sublane offset are fragile in Mosaic ----
-    w1, w2 = params.accel_w1, params.accel_w2
-    ok = (
-        accel_rows
-        & jnp.logical_not(obst)
-        & (src[3] - w1 > 0.0)
-        & (src[6] - w2 > 0.0)
-        & (src[7] - w2 > 0.0)
+    interpret mode), restructured for minimal whole-plane liveness: the
+    naive three-list form (forced, streamed, out) keeps ~18 planes live
+    at once, which Mosaic's register allocator turns into ~2 buffers'
+    worth of VMEM spill slots — at 1024x1024 that alone is 70 MB and the
+    kernel exceeds the 128 MiB chip VMEM.  The step body is the shared
+    :func:`kernel_common.lean_window_step` with T=ny (a VMEM-resident
+    grid is its own window and the roll wrap is REAL periodicity, not
+    trapezoid garbage); forcing arrives as the row-ny-2 mask because
+    row-sliced writes at an unaligned sublane offset are fragile in
+    Mosaic (d2q9-bgk.c:239-260 semantics)."""
+    u_sq = kernel_common.lean_window_step(
+        src, dst, obst, accel_rows, params, ny, nx
     )
-
-    # ---- force + pull-stream each plane straight into dst ----
-    deltas = {1: w1, 5: w2, 8: w2, 3: -w1, 6: -w2, 7: -w2}
-    for k in range(lattice.NSPEEDS):
-        plane = src[k]
-        dv = deltas.get(k)
-        if dv is not None:
-            plane = plane + jnp.where(ok, jnp.float32(dv), zero)
-        cy, cx = int(lattice.CY[k]), int(lattice.CX[k])
-        if cy:
-            plane = pltpu.roll(plane, cy % ny, axis=0)
-        if cx:
-            plane = pltpu.roll(plane, cx % nx, axis=1)
-        dst[k] = plane
-
-    # ---- moments (accumulator form: loads retire into sums) ----
-    omega = params.omega_f32
-    om1 = jnp.float32(1.0) - omega
-    rho = dst[0]
-    for k in range(1, lattice.NSPEEDS):
-        rho = rho + dst[k]
-    inv_rho = 1.0 / rho
-    u_x = (dst[1] + dst[5] + dst[8] - dst[3] - dst[6] - dst[7]) * inv_rho
-    u_y = (dst[2] + dst[5] + dst[6] - dst[4] - dst[7] - dst[8]) * inv_rho
-    u_sq = u_x * u_x + u_y * u_y
-    avs_ref[t, 0] = jnp.sum(jnp.where(obst, zero, jnp.sqrt(u_sq)))
-    base = 1.0 - u_sq * jnp.float32(1.5)
-
-    # ---- pairwise BGK + bounce-back, stored as computed (in place) ----
-    s0 = dst[0]
-    dst[0] = jnp.where(
-        obst, s0, (jnp.float32(lattice.W[0]) * omega) * rho * base + om1 * s0
+    avs_ref[t, 0] = jnp.sum(
+        jnp.where(obst, jnp.float32(0.0), jnp.sqrt(u_sq))
     )
-
-    def pair(k, cu):
-        ko = int(lattice.OPP[k])
-        sk, sko = dst[k], dst[ko]
-        tw = (jnp.float32(lattice.W[k]) * omega) * rho
-        even = base + (cu * cu) * jnp.float32(4.5)
-        odd = cu * jnp.float32(3.0)
-        dst[k] = jnp.where(obst, sko, tw * (even + odd) + om1 * sk)
-        dst[ko] = jnp.where(obst, sk, tw * (even - odd) + om1 * sko)
-
-    pair(1, u_x)
-    pair(2, u_y)
-    pair(5, u_x + u_y)
-    pair(8, u_x - u_y)
 
 
 def _chunk_kernel(
