@@ -40,8 +40,14 @@ check:
 	    --av-vels-file=./av_vels.dat \
 	    --final-state-file=./final_state.dat
 
+# make bench            — headline single-size JSON line (driver contract)
+# make bench MATRIX=1   — 512^2-8192^2 regression gate vs recorded BENCH.md
 bench:
+ifdef MATRIX
+	$(PY) bench.py --matrix
+else
 	$(PY) bench.py
+endif
 
 # all four decks end-to-end against the goldens (needs the TPU for speed)
 validate:

@@ -71,17 +71,23 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--ca-steps", type=int, default=1, metavar="K",
-        help="steps per halo exchange on the sharded 1-D ring "
-             "(communication-avoiding ghost zones; with --shard-kernel pallas the Mosaic CA window kernel, VMEM-gated)",
+        help="steps per halo exchange on the sharded mesh "
+             "(communication-avoiding ghost zones; 1-D ring or 2-D torus; "
+             "with --shard-kernel pallas the Mosaic CA window kernel, "
+             "VMEM-gated, 1-D only)",
     )
     return p
 
 
+def _parse_mesh(args):
+    if not args.mesh:
+        return None
+    my, mx = (int(v) for v in args.mesh.lower().split("x"))
+    return (my, mx)
+
+
 def _run_sim(sim: Simulation, args):
-    mesh = None
-    if args.mesh:
-        my, mx = (int(v) for v in args.mesh.lower().split("x"))
-        mesh = (my, mx)
+    mesh = _parse_mesh(args)
     return sim.run(
         n_iters=args.iters,
         debug=args.debug,
@@ -119,15 +125,21 @@ def main(argv: list[str] | None = None) -> int:
         # AOT-compile the exact executable the main loop will dispatch, so
         # the Compute timer measures compute the way the reference's does
         # (d2q9-bgk.c:177-206) instead of swallowing multi-second remote
-        # Mosaic/XLA compiles
-        if not (
-            args.devices
-            or args.mesh
-            or args.checkpoint_every
-            or args.resume
-            or args.backend == "sharded"
-        ):
-            sim.warmup(n_iters=args.iters, debug=args.debug)
+        # Mosaic/XLA compiles.  The sharded path warms its own (cached)
+        # runner the same way; only checkpointed runs stay unwarmed
+        # (segments build their own programs).
+        if not (args.checkpoint_every or args.resume):
+            try:
+                sim.warmup(
+                    n_iters=args.iters, debug=args.debug,
+                    devices=args.devices, shard_kernel=args.shard_kernel,
+                    mesh=_parse_mesh(args), ca_steps=args.ca_steps,
+                )
+            except ValueError as e:
+                # bad decomposition (indivisible mesh, thin slabs, ...) —
+                # clean die()-style exit, same as a bad deck
+                print(f"Error: {e}", file=sys.stderr)
+                return 1
 
     profiler_cm = None
     if args.profile:

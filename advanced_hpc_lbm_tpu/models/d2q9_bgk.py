@@ -59,6 +59,11 @@ class SimulationResult:
     _obstacles_cache: np.ndarray = dataclasses.field(
         default=None, repr=False, compare=False
     )
+    # set by run(fetch=False, check_finite=True): the finiteness gate is
+    # deferred to collate() because the arrays are still on device
+    _check_finite_pending: bool = dataclasses.field(
+        default=False, repr=False, compare=False
+    )
 
     def write(
         self,
@@ -86,10 +91,25 @@ class SimulationResult:
         self.av_vels = np.asarray(jax.device_get(self.av_vels))
         if self.densities is not None:
             self.densities = np.asarray(jax.device_get(self.densities))
-        if getattr(self, "_check_finite_pending", False):
+        if self._check_finite_pending:
             self._check_finite_pending = False
             Simulation._assert_finite(self)
         return self
+
+
+def _device_hbm_bytes() -> int | None:
+    """This chip's HBM capacity, or None when the footprint gate doesn't
+    apply (CPU/GPU hosts page; only the TPU's fixed HBM hard-fails)."""
+    try:
+        d = jax.devices()[0]
+        if d.platform != "tpu":
+            return None
+        stats = d.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 16 * 1024**3  # v5e
 
 
 class Simulation:
@@ -222,18 +242,97 @@ class Simulation:
             donate_argnums=0,
         )
 
-    def warmup(self, *, n_iters: int | None = None, debug: bool = False) -> None:
-        """AOT-compile the exact executable ``run`` will dispatch.
+    def _check_single_chip_fit(self) -> None:
+        """Fail loudly with an actionable message on grids whose
+        double-buffered state (+XLA transients) exceeds this chip's HBM,
+        instead of a raw ResourceExhausted mid-run.  Measured wall (BENCH.md
+        headline note): 8192^2 (2 x 2.4 GB) runs; 12288^2 (2 x 5.4 GB +
+        transients) does not.  The 3x factor models in+out scan buffers
+        plus one transient copy."""
+        hbm = _device_hbm_bytes()
+        if hbm is None:
+            return
+        state = 9 * self.params.ny * self.params.nx * 4
+        if 3 * state > 0.9 * hbm:
+            raise ValueError(
+                f"grid {self.params.ny}x{self.params.nx} needs "
+                f"~{2 * state / 2**30:.1f} GB of HBM double-buffered "
+                f"(+transients), exceeding this chip's {hbm / 2**30:.0f} GB; "
+                "shard it over a device mesh with --devices N or "
+                "--mesh MYxMX (parallel/halo.py)"
+            )
+
+    def _sharded_runner(
+        self,
+        iters: int,
+        devices: int | None,
+        shard_kernel: str,
+        mesh: tuple[int, int] | None,
+        ca_steps: int,
+    ):
+        """The cached (runner, shardings) pair for a sharded configuration.
+        Built once per config so warmup() and run() dispatch the SAME
+        jax.jit object (a fresh jit per call would recompile)."""
+        key = ("sharded", iters, devices, shard_kernel, mesh, ca_steps)
+        cached = self._compiled.get(key)
+        if cached is not None:
+            return cached
+        from advanced_hpc_lbm_tpu.parallel import halo
+
+        if mesh is not None:
+            pair = halo.prepare_sharded_2d(
+                self.params, iters, mesh, kernel=shard_kernel,
+                ca_steps=ca_steps,
+            )
+        else:
+            pair = halo.prepare_sharded(
+                self.params, iters, n_devices=devices, kernel=shard_kernel,
+                ca_steps=ca_steps,
+            )
+        self._compiled[key] = pair
+        return pair
+
+    def warmup(
+        self,
+        *,
+        n_iters: int | None = None,
+        debug: bool = False,
+        devices: int | None = None,
+        shard_kernel: str = "jnp",
+        mesh: tuple[int, int] | None = None,
+        ca_steps: int = 1,
+    ) -> None:
+        """AOT-compile (and first-run) the exact executable ``run`` will
+        dispatch.
 
         The reference's Compute timer measures pure compute
         (d2q9-bgk.c:177-206); calling this during the Init phase keeps that
         contract here too — on TPU the (multi-second, remote) Mosaic/XLA
         compile lands in Init, and ``run`` then invokes the stored compiled
-        executable.  No-op for the sharded/checkpointed paths (they build
-        their own programs)."""
-        if self.backend == "sharded":
-            return
+        executable.  Pass the same ``devices``/``mesh``/``shard_kernel``/
+        ``ca_steps`` the run will use to warm the sharded path (the runner
+        is cached per config and reused by ``run``).  No-op for the
+        checkpointed path (segments build their own programs)."""
         iters = self.params.max_iters if n_iters is None else n_iters
+        sharded = (
+            self.backend == "sharded"
+            or (devices is not None and devices > 1)
+            or mesh is not None
+        )
+        if sharded:
+            from advanced_hpc_lbm_tpu.parallel import halo
+
+            runner, sh = self._sharded_runner(
+                iters, devices, shard_kernel, mesh, ca_steps
+            )
+            out = halo.execute_sharded(
+                runner, sh, self.initial_state(),
+                jnp.asarray(self.obstacles), self.params,
+            )
+            # also absorb the one-time device->host path cost (see below)
+            jax.tree.map(np.asarray, out)
+            return
+        self._check_single_chip_fit()
         key = (iters, debug)
         if key in self._compiled:
             return
@@ -293,11 +392,19 @@ class Simulation:
             or (devices is not None and devices > 1)
             or mesh is not None
         )
+        if ca_steps > 1 and not sharded:
+            raise ValueError(
+                "ca_steps > 1 is a property of the halo exchange and needs "
+                "the sharded backend (--devices N or --mesh MYxMX); on one "
+                "device use the pallask backend for time tiling instead"
+            )
         if sharded and debug:
             raise ValueError(
                 "debug density collection needs per-step host data and is "
                 "not supported on the sharded backend"
             )
+        if not sharded:
+            self._check_single_chip_fit()
         if checkpoint_every or resume:
             result = self._run_checkpointed(
                 iters, checkpoint_every or iters, checkpoint_dir, resume,
@@ -313,17 +420,12 @@ class Simulation:
         if sharded:
             from advanced_hpc_lbm_tpu.parallel import halo
 
-            if mesh is not None:
-                f_final, av_vels = halo.run_sharded_2d(
-                    f0, obstacles, self.params, mesh, n_iters=iters,
-                    kernel=shard_kernel,
-                )
-            else:
-                f_final, av_vels = halo.run_sharded(
-                    f0, obstacles, self.params, n_iters=iters,
-                    n_devices=devices, kernel=shard_kernel,
-                    ca_steps=ca_steps,
-                )
+            runner, sh = self._sharded_runner(
+                iters, devices, shard_kernel, mesh, ca_steps
+            )
+            f_final, av_vels = halo.execute_sharded(
+                runner, sh, f0, obstacles, self.params
+            )
             densities = None
         else:
             runner = self._compiled.get((iters, debug))
@@ -434,7 +536,7 @@ class Simulation:
                     if mesh is not None:
                         return halo.run_sharded_2d(
                             ff, oo, self.params, mesh, n_iters=_n,
-                            kernel=shard_kernel,
+                            kernel=shard_kernel, ca_steps=ca_steps,
                         )
                     return halo.run_sharded(
                         ff, oo, self.params, n_iters=_n,

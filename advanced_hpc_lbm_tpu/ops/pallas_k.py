@@ -54,10 +54,25 @@ _VMEM_BUDGET = 80 * 1024 * 1024
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
+def _vmem_limit() -> int:
+    """Scoped-VMEM limit for the kernel (bytes).  LBM_PALLASK_VMEM_MB
+    overrides for probing tiles beyond the default budget (the chip has
+    128 MiB; the resident kernel runs at a 127 MiB limit)."""
+    override = os.environ.get("LBM_PALLASK_VMEM_MB")
+    if override:
+        return int(override) * 1024 * 1024
+    return _VMEM_LIMIT
+
+
 def _pick_tile_rows(ny: int, nx: int, k: int) -> int | None:
     """Largest 8-multiple row-slab dividing ny whose buffers (4 x 36*ty*nx
     main blocks + halos/scratch) fit _VMEM_BUDGET.  Large ty is what makes
-    big K cheap: the ghost-zone seam recompute is 2K/ty."""
+    big K cheap: the ghost-zone seam recompute is 2K/ty.
+
+    The budget charges the two lean ping-pong window buffers
+    unconditionally: lean=True is the shipped default everywhere
+    (multi_step/run), and gating on the lean footprint keeps the naive
+    fallback body (a debugging aid) on strictly safer tiles."""
     override = os.environ.get("LBM_PALLASK_TY")
     if override:
         ty = int(override)
@@ -331,7 +346,7 @@ def _build_call(
             bytes_accessed=int(82 * ny * nx),
             transcendentals=int(k * ny * nx),
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )
 

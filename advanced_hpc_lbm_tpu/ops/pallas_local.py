@@ -386,6 +386,7 @@ def ca_supported(ny_local: int, nx: int, k: int) -> bool:
         3 * 9 * r * nx * 4  # window operand + 2 scratch
         + 9 * ny_local * nx * 4  # own-rows output
         + 2 * r * nx * 4  # obstacle + forcing mask planes
+        + 5 * r * nx * 4  # lean step live temporaries (rho/u_x/u_y/u_sq/base)
     )
     return (
         on_tpu

@@ -106,6 +106,15 @@ def batch_run(
             f"expected batched (B,9,ny,nx) f0 and (B,ny,nx) obstacles, got "
             f"{f0.shape} and {obstacles.shape}"
         )
+    # opaque Pallas step kernels fail under vmap with obscure Mosaic trace
+    # errors; fail loudly here instead (mirrors halo.make_sharded_runner's
+    # explicit kernel guards)
+    if "pallas" in getattr(step_fn, "__module__", ""):
+        raise ValueError(
+            f"step_fn {step_fn.__name__!r} is a Pallas kernel and cannot be "
+            "vmapped over the batch axis; use the jnp fused_step (default) — "
+            "Pallas kernels belong to the single-run backends"
+        )
 
     if mesh is None:
         return _jitted(params, n_iters, step_fn, None, None)(f0, obstacles)

@@ -178,6 +178,73 @@ def _local_fused_ca_steps(
     return w, jnp.stack(avs)
 
 
+def _local_fused_ca_steps_2d(
+    f, obst_ext, row_is_accel_ext, n_fluid, params, ay, ax, k: int
+):
+    """K steps per exchange on a 2-D (rows x columns) shard.
+
+    The 1-D CA machinery (_local_fused_ca_steps) generalized to a torus:
+    the two-phase ±K extension (K rows over the y ring, then K columns OF
+    THE ROW-EXTENDED array over the x ring) fills the corner blocks the
+    diagonal speeds need, exactly like the 1-row exchange in
+    _local_fused_step_2d.  Each of the K steps then shrinks the window by
+    one row AND one column per side; streaming is pure static slicing (no
+    rolls — x periodicity arrives via the ring wrap).
+
+    ``obst_ext`` is the (ly+2K, lx+2K) two-phase-extended obstacle mask;
+    ``row_is_accel_ext`` the (ly+2K,) y-extended forcing-row mask (the
+    forcing row is uniform in x, so its x-extension is a broadcast).
+    Both are loop-invariant, built once by make_sharded_runner_2d.
+    """
+    ly, lx = f.shape[1], f.shape[2]
+    w = _extend_rows(f, ay, k, row_axis=1)  # (9, ly+2K, lx)
+    w = _extend_rows(w, ax, k, row_axis=2)  # (9, ly+2K, lx+2K)
+
+    from advanced_hpc_lbm_tpu.ops import kernel_common
+
+    avs = []
+    for s in range(k):
+        depth = k - s
+        rows = ly + 2 * depth
+        cols = lx + 2 * depth
+        off = k - depth  # current window starts at extended row/col `off`
+        obst_w = jax.lax.slice(
+            obst_ext, (off, off), (off + rows, off + cols)
+        )
+        accel_w = jax.lax.slice_in_dim(
+            row_is_accel_ext, off, off + rows, axis=0
+        )
+        w = kernel_common.forced(
+            [w[kk] for kk in range(lattice.NSPEEDS)],
+            obst_w,
+            accel_w[:, None],
+            params,
+        )
+        streamed = [
+            jax.lax.slice(
+                w[kk],
+                (1 - int(lattice.CY[kk]), 1 - int(lattice.CX[kk])),
+                (1 - int(lattice.CY[kk]) + rows - 2,
+                 1 - int(lattice.CX[kk]) + cols - 2),
+            )
+            for kk in range(lattice.NSPEEDS)
+        ]
+        obst_in = jax.lax.slice(
+            obst_ext, (off + 1, off + 1), (off + rows - 1, off + cols - 1)
+        )
+        out_planes, u_sq = kernel_common.collide(streamed, obst_in, params)
+        w = jnp.stack(out_planes)
+        # reduction over the shard's own cells (offset depth-1 in the
+        # post-step window) from the pre-collision moments
+        own_usq = jax.lax.slice(
+            u_sq, (depth - 1, depth - 1), (depth - 1 + ly, depth - 1 + lx)
+        )
+        own_obst = jax.lax.slice(obst_ext, (k, k), (k + ly, k + lx))
+        tot = jnp.sum(jnp.where(own_obst, 0.0, jnp.sqrt(own_usq)))
+        avs.append(jax.lax.psum(jax.lax.psum(tot, ay), ax) / n_fluid)
+    return w, jnp.stack(avs)
+
+
 def _local_pallas_step(f, obstacles8, n_fluid, params, axis: str, interpret):
     """One step where the local slab runs the Mosaic kernel
     (ops.pallas_local) and only the two boundary rows ride the ring —
@@ -496,32 +563,30 @@ def _local_pallas_step_2d(
     return f_next, av
 
 
-def run_sharded_2d(
-    f0: jax.Array,
-    obstacles: jax.Array,
+def make_sharded_runner_2d(
+    mesh: Mesh,
     params: LBMParams,
-    mesh_shape: tuple[int, int],
+    n_iters: int,
     *,
-    n_iters: int | None = None,
     kernel: str = "jnp",
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """Full loop on a (my, mx) torus: rows AND columns sharded.
+    ca_steps: int = 1,
+):
+    """Build the jitted (my, mx)-torus main loop (rows AND columns sharded).
 
     ``kernel``: "jnp" (XLA-fused local step) or "pallas" (per-shard Mosaic
     kernel — the TPU production path, ops.pallas_local.local_step_2d).
-    Note: this path computes the reduction from pre-collision moments
-    (like the kernels; identical up to ~1e-7 fp noise — DESIGN.md)."""
-    iters = params.max_iters if n_iters is None else n_iters
-    my, mx = mesh_shape
-    mesh = make_yx_mesh(my, mx)
-    if params.ny % my or params.nx % mx:
+    ``ca_steps`` > 1 runs K steps per two-phase halo exchange
+    (communication-avoiding ghost zones on the torus,
+    _local_fused_ca_steps_2d; jnp kernel only — the Mosaic CA window
+    kernel is 1-D-ring-specific, so kernel="pallas" + ca_steps > 1 raises).
+    Returns (runner, shardings) like make_sharded_runner."""
+    if ca_steps > 1 and kernel == "pallas":
         raise ValueError(
-            f"grid {params.ny}x{params.nx} not divisible by mesh {my}x{mx}"
+            "ca_steps > 1 with kernel='pallas' is not supported on the 2-D "
+            "torus (the Mosaic CA window kernel assumes an unsharded "
+            "periodic x axis); use kernel='jnp' or a 1-D mesh"
         )
-
-    row_mask = jnp.zeros(params.ny, bool).at[params.ny - 2].set(True)
-    n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
 
     f_spec = P(None, "y", "x")
     grid_spec = P("y", "x")
@@ -542,10 +607,33 @@ def run_sharded_2d(
                 f2, av2 = one(f1)
                 return f2, jnp.stack([av1, av2])
 
-            f, av_pairs = jax.lax.scan(body, f, None, length=iters // 2)
+            f, av_pairs = jax.lax.scan(body, f, None, length=n_iters // 2)
             avs = av_pairs.reshape(-1)
-            if iters % 2:
+            if n_iters % 2:
                 f, av_last = one(f)
+                avs = jnp.concatenate([avs, av_last[None]])
+            return f, avs
+
+        if ca_steps > 1:
+            k = ca_steps
+            # masks are loop-invariant: two-phase-extend them ONCE
+            obst_ext = _extend_rows(obst, "y", k, row_axis=0)
+            obst_ext = _extend_rows(obst_ext, "x", k, row_axis=1)
+            row_ext = _extend_rows(rmask, "y", k, row_axis=0)
+
+            def body_ca(carry_f, _):
+                return _local_fused_ca_steps_2d(
+                    carry_f, obst_ext, row_ext, nf, params, "y", "x", k
+                )
+
+            f, av_chunks = jax.lax.scan(
+                body_ca, f, None, length=n_iters // k
+            )
+            avs = av_chunks.reshape(-1)
+            for _ in range(n_iters % k):
+                f, av_last = _local_fused_step_2d(
+                    f, obst, rmask, nf, params, "y", "x"
+                )
                 avs = jnp.concatenate([avs, av_last[None]])
             return f, avs
 
@@ -554,7 +642,7 @@ def run_sharded_2d(
                 carry_f, obst, rmask, nf, params, "y", "x"
             )
 
-        return jax.lax.scan(body, f, None, length=iters)
+        return jax.lax.scan(body, f, None, length=n_iters)
 
     mapped = jax.shard_map(
         whole_run,
@@ -564,11 +652,106 @@ def run_sharded_2d(
         check_vma=(kernel != "pallas"),
     )
     runner = jax.jit(mapped, donate_argnums=0)
-    f0 = jax.device_put(f0, NamedSharding(mesh, f_spec))
-    obstacles = jax.device_put(obstacles, NamedSharding(mesh, grid_spec))
-    row_mask = jax.device_put(row_mask, NamedSharding(mesh, row_spec))
-    n_fluid = jax.device_put(n_fluid, NamedSharding(mesh, P()))
+    shardings = {
+        "f": NamedSharding(mesh, f_spec),
+        "grid": NamedSharding(mesh, grid_spec),
+        "row": NamedSharding(mesh, row_spec),
+        "scalar": NamedSharding(mesh, P()),
+    }
+    return runner, shardings
+
+
+def prepare_sharded_2d(
+    params: LBMParams,
+    n_iters: int,
+    mesh_shape: tuple[int, int],
+    *,
+    kernel: str = "jnp",
+    interpret: bool = False,
+    ca_steps: int = 1,
+):
+    """Validate the (my, mx) torus decomposition and build its runner.
+    Returns (runner, shardings).  Split from run_sharded_2d so callers
+    (Simulation.warmup) can AOT-build and reuse the exact runner."""
+    my, mx = mesh_shape
+    if params.ny % my or params.nx % mx:
+        raise ValueError(
+            f"grid {params.ny}x{params.nx} not divisible by mesh {my}x{mx}"
+        )
+    if ca_steps > 1 and (
+        params.ny // my < 2 * ca_steps or params.nx // mx < 2 * ca_steps
+    ):
+        raise ValueError(
+            f"local block {params.ny // my}x{params.nx // mx} too thin for "
+            f"ca_steps={ca_steps} ghost zones"
+        )
+    mesh = make_yx_mesh(my, mx)
+    return make_sharded_runner_2d(
+        mesh, params, n_iters, kernel=kernel, interpret=interpret,
+        ca_steps=ca_steps,
+    )
+
+
+def execute_sharded(runner, shardings, f0, obstacles, params: LBMParams):
+    """device_put the inputs per the runner's shardings and invoke it."""
+    row_mask = jnp.zeros(params.ny, bool).at[params.ny - 2].set(True)
+    n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
+    f0 = jax.device_put(f0, shardings["f"])
+    obstacles = jax.device_put(obstacles, shardings["grid"])
+    row_mask = jax.device_put(row_mask, shardings["row"])
+    n_fluid = jax.device_put(n_fluid, shardings["scalar"])
     return runner(f0, obstacles, row_mask, n_fluid)
+
+
+def run_sharded_2d(
+    f0: jax.Array,
+    obstacles: jax.Array,
+    params: LBMParams,
+    mesh_shape: tuple[int, int],
+    *,
+    n_iters: int | None = None,
+    kernel: str = "jnp",
+    interpret: bool = False,
+    ca_steps: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Full loop on a (my, mx) torus: rows AND columns sharded.
+
+    See make_sharded_runner_2d for the kernel / ca_steps semantics.
+    Note: this path computes the reduction from pre-collision moments
+    (like the kernels; identical up to ~1e-7 fp noise — DESIGN.md)."""
+    iters = params.max_iters if n_iters is None else n_iters
+    runner, sh = prepare_sharded_2d(
+        params, iters, mesh_shape, kernel=kernel, interpret=interpret,
+        ca_steps=ca_steps,
+    )
+    return execute_sharded(runner, sh, f0, obstacles, params)
+
+
+def prepare_sharded(
+    params: LBMParams,
+    n_iters: int,
+    *,
+    n_devices: int | None = None,
+    kernel: str = "jnp",
+    interpret: bool = False,
+    ca_steps: int = 1,
+):
+    """Validate the 1-D y decomposition and build its runner.
+    Returns (runner, shardings).  Split from run_sharded so callers
+    (Simulation.warmup) can AOT-build and reuse the exact runner."""
+    mesh = make_y_mesh(n_devices)
+    n = mesh.devices.size
+    if params.ny % n:
+        raise ValueError(f"ny={params.ny} not divisible by {n} devices")
+    if ca_steps > 1 and params.ny // n < 2 * ca_steps:
+        raise ValueError(
+            f"local slab ny/n={params.ny // n} too thin for "
+            f"ca_steps={ca_steps} ghost zones"
+        )
+    return make_sharded_runner(
+        mesh, params, n_iters, kernel=kernel, interpret=interpret,
+        ca_steps=ca_steps,
+    )
 
 
 def run_sharded(
@@ -588,25 +771,8 @@ def run_sharded(
     shard (TPU production path); ca_steps=K > 1 exchanges halos every K
     steps (communication-avoiding ghost zones; composes with kernel="pallas" via the Mosaic CA window kernel when the window fits VMEM)."""
     iters = params.max_iters if n_iters is None else n_iters
-    mesh = make_y_mesh(n_devices)
-    n = mesh.devices.size
-    if params.ny % n:
-        raise ValueError(f"ny={params.ny} not divisible by {n} devices")
-    if ca_steps > 1 and params.ny // n < 2 * ca_steps:
-        raise ValueError(
-            f"local slab ny/n={params.ny // n} too thin for "
-            f"ca_steps={ca_steps} ghost zones"
-        )
-
-    row_mask = jnp.zeros(params.ny, bool).at[params.ny - 2].set(True)
-    n_fluid = jnp.sum(~obstacles).astype(jnp.float32)
-    runner, sh = make_sharded_runner(
-        mesh, params, iters, kernel=kernel, interpret=interpret,
-        ca_steps=ca_steps,
+    runner, sh = prepare_sharded(
+        params, iters, n_devices=n_devices, kernel=kernel,
+        interpret=interpret, ca_steps=ca_steps,
     )
-
-    f0 = jax.device_put(f0, sh["f"])
-    obstacles = jax.device_put(obstacles, sh["grid"])
-    row_mask = jax.device_put(row_mask, sh["row"])
-    n_fluid = jax.device_put(n_fluid, sh["scalar"])
-    return runner(f0, obstacles, row_mask, n_fluid)
+    return execute_sharded(runner, sh, f0, obstacles, params)

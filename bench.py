@@ -8,6 +8,10 @@ timestep_new2, -Ofast, single Broadwell core: 20000 iters in 574.370 s
 = 36.5 MLUPS (d2q9-bgk_1.out; BASELINE.md).  vs_baseline = ours / 0.0365.
 
 Usage: python bench.py [--iters N] [--size NxN] [--backend fused|pallas]
+       python bench.py --matrix       # multi-size regression gate:
+         runs the 512^2-8192^2 curve in ONE process and compares each size
+         against the recorded BENCH.md value with a tolerance band — one
+         pass/fail JSON line per size, nonzero exit on any regression.
 """
 
 from __future__ import annotations
@@ -20,6 +24,21 @@ import time
 import numpy as np
 
 BASELINE_GLUPS = 0.0365  # reference optimized serial, 1024^2 (BASELINE.md)
+
+# --matrix regression gate: recorded round-2 GLUPS per size (BENCH.md
+# headline table, min-of-repeats, long amortized calls) with the iteration
+# counts those numbers were measured at.  The tolerance band absorbs
+# shared-chip noise (additive, so min-of-repeats is stable to ~10%) while
+# still catching a real kernel regression.
+MATRIX = [
+    # (size, iters, recorded GLUPS)
+    ("512x512", 20000, 17.5),
+    ("1024x1024", 20000, 28.25),
+    ("2048x2048", 4000, 20.2),
+    ("4096x4096", 1200, 18.15),
+    ("8192x8192", 400, 16.06),
+]
+MATRIX_TOLERANCE = 0.15  # fail below recorded * (1 - tolerance)
 
 
 def build_deck(nx: int, ny: int, max_iters: int):
@@ -38,81 +57,59 @@ def build_deck(nx: int, ny: int, max_iters: int):
     return params, mask
 
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser()
-    # full reference deck length (input_1024x1024.params): each runner call
-    # through the device tunnel pays a ~58 ms fixed dispatch/round-trip cost
-    # (measured by the 48/480/4800-step interleaved probe, BENCH.md), so
-    # short timed calls under-report the kernel by up to 2x — 20000 steps
-    # amortizes it to ~3%
-    ap.add_argument("--iters", type=int, default=20000)
-    ap.add_argument("--size", default="1024x1024")
-    ap.add_argument(
-        "--backend",
-        default="best",
-        choices=["best", "fused", "pallas", "pallas2", "pallask", "resident"],
-    )
-    ap.add_argument("--repeats", type=int, default=5)
-    ap.add_argument(
-        "--warmup",
-        type=int,
-        default=None,
-        help="deprecated; warmup always runs the timed program once",
-    )
-    args = ap.parse_args(argv)
+def resolve_backend(backend: str, ny: int, nx: int) -> str:
+    if backend != "best":
+        return backend
+    try:
+        from advanced_hpc_lbm_tpu.ops import pallas_k, pallas_step, resident
 
+        if resident.supported(ny, nx):
+            return "resident"
+        if (
+            ny * nx > 1024 * 1024
+            and pallas_step.supported(ny, nx)
+            and pallas_k.best_k(ny, nx) is not None
+        ):
+            return "pallask"
+        if pallas_step.supported(ny, nx):
+            return "pallas"
+    except Exception:
+        pass
+    return "fused"
+
+
+def measure(size: str, iters: int, backend: str, repeats: int):
+    """Warm + time one (size, iters, backend) config in this process.
+    Returns (glups_best, glups_median, backend, times)."""
     import jax
-    import jax.numpy as jnp
 
     from advanced_hpc_lbm_tpu.ops import fused, reference
-    from advanced_hpc_lbm_tpu.utils import cache
 
-    cache.enable()
+    nx, ny = (int(v) for v in size.split("x"))
+    params, mask = build_deck(nx, ny, iters)
+    import jax.numpy as jnp
 
-    nx, ny = (int(v) for v in args.size.split("x"))
-    params, mask = build_deck(nx, ny, args.iters)
     obstacles = jnp.asarray(mask)
-
-    backend = args.backend
-    if backend == "best":
-        try:
-            from advanced_hpc_lbm_tpu.ops import pallas_k, pallas_step, resident
-
-            if resident.supported(ny, nx):
-                backend = "resident"
-            elif (
-                ny * nx > 1024 * 1024
-                and pallas_step.supported(ny, nx)
-                and pallas_k.best_k(ny, nx) is not None
-            ):
-                backend = "pallask"
-            elif pallas_step.supported(ny, nx):
-                backend = "pallas"
-            else:
-                backend = "fused"
-        except Exception:
-            backend = "fused"
+    backend = resolve_backend(backend, ny, nx)
 
     if backend == "resident":
         from advanced_hpc_lbm_tpu.ops import resident
 
         runner = jax.jit(
-            lambda f, o, n=args.iters: resident.resident_run(
-                f, o, params, n_iters=n
-            )
+            lambda f, o, n=iters: resident.resident_run(f, o, params, n_iters=n)
         )
     elif backend == "pallask":
         from advanced_hpc_lbm_tpu.ops import pallas_k
 
         kk = pallas_k.best_k(ny, nx)
         runner = jax.jit(
-            lambda f, o, n=args.iters: pallas_k.run(f, o, params, n_iters=n, k=kk)
+            lambda f, o, n=iters: pallas_k.run(f, o, params, n_iters=n, k=kk)
         )
     elif backend == "pallas2":
         from advanced_hpc_lbm_tpu.ops import pallas_multi
 
         runner = jax.jit(
-            lambda f, o, n=args.iters: pallas_multi.run(f, o, params, n_iters=n)
+            lambda f, o, n=iters: pallas_multi.run(f, o, params, n_iters=n)
         )
     else:
         if backend == "pallas":
@@ -123,7 +120,7 @@ def main(argv=None) -> int:
             step_fn = fused.fused_step
 
         runner = jax.jit(
-            lambda f, o, n=args.iters: fused.run_simulation(
+            lambda f, o, n=iters: fused.run_simulation(
                 f, o, params, n_iters=n, step_fn=step_fn
             )
         )
@@ -144,7 +141,7 @@ def main(argv=None) -> int:
     # count is a different scan length = a different executable)
     run()
     times = []
-    for _ in range(args.repeats):
+    for _ in range(repeats):
         tic = time.perf_counter()
         av_host = run()
         times.append(time.perf_counter() - tic)
@@ -152,11 +149,105 @@ def main(argv=None) -> int:
     # BENCH.md), so the minimum is the least-contaminated estimate of the
     # kernel's actual speed — standard practice for timing on shared
     # hardware; the median is reported alongside on stderr
-    elapsed = min(times)
-
     assert np.all(np.isfinite(av_host)), "NaN in av_vels during bench"
-    assert av_host.shape[0] == args.iters
-    glups = nx * ny * args.iters / elapsed / 1e9
+    assert av_host.shape[0] == iters
+    best = min(times)
+    median = sorted(times)[len(times) // 2]
+    cells = nx * ny
+    return cells * iters / best / 1e9, cells * iters / median / 1e9, backend, times
+
+
+def run_matrix(repeats: int) -> int:
+    """The multi-size regression gate (VERDICT round-2 item 6): every size
+    of the recorded curve, one process, pass/fail vs the tolerance band."""
+    import jax
+
+    failures = 0
+    for size, iters, recorded in MATRIX:
+        try:
+            glups, med, backend, _ = measure(size, iters, "best", repeats)
+        except Exception as e:  # a size that stops running IS a regression
+            print(
+                json.dumps(
+                    {
+                        "metric": f"GLUPS_{size}",
+                        "value": None,
+                        "unit": "GLUPS",
+                        "recorded": recorded,
+                        "pass": False,
+                        "error": f"{type(e).__name__}: {e}"[:200],
+                    }
+                ),
+                flush=True,
+            )
+            failures += 1
+            continue
+        floor = recorded * (1.0 - MATRIX_TOLERANCE)
+        ok = glups >= floor
+        failures += not ok
+        print(
+            json.dumps(
+                {
+                    "metric": f"GLUPS_{size}",
+                    "value": round(glups, 4),
+                    "unit": "GLUPS",
+                    "recorded": recorded,
+                    "floor": round(floor, 2),
+                    "backend": backend,
+                    "pass": bool(ok),
+                }
+            ),
+            flush=True,
+        )
+    print(
+        f"# matrix: {len(MATRIX) - failures}/{len(MATRIX)} sizes within "
+        f"{MATRIX_TOLERANCE:.0%} of recorded "
+        f"(device={jax.devices()[0].device_kind})",
+        file=sys.stderr,
+    )
+    return 1 if failures else 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    # full reference deck length (input_1024x1024.params): each runner call
+    # through the device tunnel pays a ~58 ms fixed dispatch/round-trip cost
+    # (measured by the 48/480/4800-step interleaved probe, BENCH.md), so
+    # short timed calls under-report the kernel by up to 2x — 20000 steps
+    # amortizes it to ~3%
+    ap.add_argument("--iters", type=int, default=20000)
+    ap.add_argument("--size", default="1024x1024")
+    ap.add_argument(
+        "--backend",
+        default="best",
+        choices=["best", "fused", "pallas", "pallas2", "pallask", "resident"],
+    )
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument(
+        "--matrix", action="store_true",
+        help="multi-size regression gate: run the recorded 512^2-8192^2 "
+             "curve and pass/fail each size against BENCH.md values",
+    )
+    ap.add_argument(
+        "--warmup",
+        type=int,
+        default=None,
+        help="deprecated; warmup always runs the timed program once",
+    )
+    args = ap.parse_args(argv)
+
+    from advanced_hpc_lbm_tpu.utils import cache
+
+    cache.enable()
+
+    if args.matrix:
+        return run_matrix(min(args.repeats, 3))
+
+    import jax
+
+    glups, glups_med, backend, times = measure(
+        args.size, args.iters, args.backend, args.repeats
+    )
     print(
         json.dumps(
             {
@@ -167,10 +258,10 @@ def main(argv=None) -> int:
             }
         )
     )
-    median = sorted(times)[len(times) // 2]
+    nx, ny = (int(v) for v in args.size.split("x"))
     print(
-        f"# backend={backend} iters={args.iters} best={elapsed:.3f}s "
-        f"median={median:.3f}s ({nx * ny * args.iters / median / 1e9:.2f} "
+        f"# backend={backend} iters={args.iters} best={min(times):.3f}s "
+        f"median={sorted(times)[len(times) // 2]:.3f}s ({glups_med:.2f} "
         f"GLUPS) device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )

@@ -10,10 +10,30 @@ Usage: python scripts/validate_all.py [--ref /root/reference] [--decks ...]
 from __future__ import annotations
 
 import argparse
+import lzma
 import os
+import shutil
 import sys
 import tempfile
 import time
+
+GOLDENS_DIR = os.path.join(os.path.dirname(__file__), "..", "goldens")
+
+
+def _final_state_golden(ref_dir: str, deck: str, tmpdir: str) -> str | None:
+    """The final_state golden for a deck: the reference mount's copy, or
+    the repo-regenerated one (goldens/*.xz, see goldens/README.md)
+    decompressed into ``tmpdir``.  None if neither exists."""
+    mounted = os.path.join(ref_dir, "check", f"{deck}.final_state.dat")
+    if os.path.exists(mounted):
+        return mounted
+    packed = os.path.join(GOLDENS_DIR, f"{deck}.final_state.dat.xz")
+    if os.path.exists(packed):
+        out = os.path.join(tmpdir, f"{deck}.final_state.golden.dat")
+        with lzma.open(packed, "rb") as src, open(out, "wb") as dst:
+            shutil.copyfileobj(src, dst)
+        return out
+    return None
 
 DECKS = ["128x128", "128x256", "256x256", "1024x1024"]
 # expected Reynolds numbers from the reference README (serial base build)
@@ -43,7 +63,6 @@ def main(argv=None) -> int:
         params_path = os.path.join(args.ref, f"input_{deck}.params")
         obst_path = os.path.join(args.ref, f"obstacles_{deck}.dat")
         av_golden = os.path.join(args.ref, "check", f"{deck}.av_vels.dat")
-        fs_golden = os.path.join(args.ref, "check", f"{deck}.final_state.dat")
 
         sim = Simulation.from_decks(params_path, obst_path, backend=args.backend)
         tic = time.time()
@@ -51,13 +70,14 @@ def main(argv=None) -> int:
         elapsed = time.time() - tic
         with tempfile.TemporaryDirectory() as td:
             fs, av = res.write(td)
-            if os.path.exists(fs_golden):
+            fs_golden = _final_state_golden(args.ref, deck, td)
+            if fs_golden is not None:
                 r = lbm_check.check_files(av_golden, fs_golden, av, fs)
                 av_pct = abs(r.av_vels.max_diff_pcnt)
                 fs_pct = abs(r.final_state.max_diff_pcnt)
                 ok = r.passed
             else:
-                # final_state golden stripped from the mount for big decks
+                # no mounted golden and no regenerated one (goldens/)
                 d = lbm_check.check_av_vels_only(av_golden, av)
                 av_pct, fs_pct, ok = abs(d.max_diff_pcnt), float("nan"), d.passed(1.0)
         re_ok = abs(res.reynolds - EXPECTED_RE[deck]) / EXPECTED_RE[deck] < 0.01

@@ -240,3 +240,43 @@ def test_comm_avoiding_rejects_thin_slabs(deck):
         halo.run_sharded(
             f0, jnp.asarray(mask), params, n_devices=8, ca_steps=8
         )
+
+
+@pytest.mark.parametrize("mesh_shape,k", [((2, 2), 2), ((2, 4), 3), ((4, 2), 4)])
+def test_comm_avoiding_2d_matches_single(deck, mesh_shape, k):
+    """CA ghost zones on the 2-D torus: the two-phase ±K exchange carries
+    the corner blocks, then K shrinking-window steps per exchange.  Any
+    corner error shows up through the diagonal speeds immediately; the
+    non-multiple tail exercises the 1-step fallback."""
+    params, mask = deck
+    obst = jnp.asarray(mask)
+    n_iters = 2 * k + 1
+    f0 = reference.initial_state(params)
+    fa, ava = fused.run_simulation(f0, obst, params, n_iters=n_iters)
+    fb, avb = halo.run_sharded_2d(
+        reference.initial_state(params), obst, params, mesh_shape,
+        n_iters=n_iters, ca_steps=k,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
+
+
+def test_comm_avoiding_2d_rejects_thin_blocks(deck):
+    params, mask = deck  # 64x32 grid
+    f0 = reference.initial_state(params)
+    with pytest.raises(ValueError, match="too thin"):
+        halo.run_sharded_2d(
+            f0, jnp.asarray(mask), params, (2, 4), n_iters=4, ca_steps=5
+        )
+
+
+def test_comm_avoiding_2d_rejects_pallas(deck):
+    params, mask = deck
+    f0 = reference.initial_state(params)
+    with pytest.raises(ValueError, match="not supported on the 2-D"):
+        halo.run_sharded_2d(
+            f0, jnp.asarray(mask), params, (2, 2), n_iters=4,
+            ca_steps=2, kernel="pallas",
+        )
