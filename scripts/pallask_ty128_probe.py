@@ -26,20 +26,24 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from advanced_hpc_lbm_tpu.ops import pallas_k, reference
+    from advanced_hpc_lbm_tpu.ops import pallas_k, pallas_stream, reference
     from advanced_hpc_lbm_tpu.params import LBMParams
     from advanced_hpc_lbm_tpu.utils import cache
 
     cache.enable()
 
-    # (n, k, ty, iters) — first entry per size is the shipped config
+    # (n, k, ty, iters) — first entry per size is the shipped config;
+    # k="stream" is the manual-DMA streaming kernel (ops.pallas_stream,
+    # K=8 fixed, ty auto)
     configs = [
         (4096, 6, 64, 1200),
         (4096, 6, 128, 1200),
         (4096, 8, 128, 1200),
+        (4096, "stream", 0, 1200),
         (8192, 6, 32, 400),
         (8192, 6, 64, 400),
         (8192, 8, 64, 400),
+        (8192, "stream", 0, 400),
     ]
 
     compiled = {}
@@ -56,12 +60,19 @@ def main() -> int:
             mask[: n // 2, n // 3] = True
             decks[n] = (params, jnp.asarray(mask))
         params, obst = decks[n]
-        os.environ["LBM_PALLASK_TY"] = str(ty)
-        runner = jax.jit(
-            lambda f, o, p=params, nn=iters, kk=k: pallas_k.run(
-                f, o, p, n_iters=nn, k=kk
+        if k == "stream":
+            runner = jax.jit(
+                lambda f, o, p=params, nn=iters: pallas_stream.run(
+                    f, o, p, n_iters=nn
+                )
             )
-        )
+        else:
+            os.environ["LBM_PALLASK_TY"] = str(ty)
+            runner = jax.jit(
+                lambda f, o, p=params, nn=iters, kk=k: pallas_k.run(
+                    f, o, p, n_iters=nn, k=kk
+                )
+            )
         f_s = jax.ShapeDtypeStruct((9, n, n), jnp.float32)
         o_s = jax.ShapeDtypeStruct((n, n), jnp.bool_)
         try:
@@ -109,7 +120,7 @@ def main() -> int:
 
     print(f"\n{'grid':>6} {'K':>3} {'ty':>4} {'us/step best':>13} "
           f"{'median':>8} {'GLUPS':>7}")
-    for (n, k, ty), ts in sorted(results.items()):
+    for (n, k, ty), ts in sorted(results.items(), key=lambda kv: (kv[0][0], str(kv[0][1]), kv[0][2])):
         best = min(ts)
         med = sorted(ts)[len(ts) // 2]
         print(f"{n:>5}^2 {k:>3} {ty:>4} {best:13.1f} {med:8.1f} "
