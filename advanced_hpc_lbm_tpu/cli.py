@@ -7,7 +7,7 @@ runs the deck, prints the ``==done==`` / Reynolds / four-timer block
 
 Extensions beyond the reference (all optional flags):
   --backend   auto (default) | fused | pallas | pallas2 | pallask |
-              resident | pipeline | sharded
+              resident | stream | pipeline | sharded
   --debug     per-step av-velocity + total-density prints (the reference's
               #ifdef DEBUG build, d2q9-bgk.c:196-200)
   --profile   capture a jax.profiler trace of the compute phase
@@ -37,8 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--backend",
         default="auto",
         choices=[
-            "auto", "fused", "pallas", "pallas2", "pallask", "resident", "pipeline",
-            "sharded",
+            "auto", "fused", "pallas", "pallas2", "pallask", "resident",
+            "stream", "pipeline", "sharded",
         ],
         help="auto picks resident (small grids, TPU) > pallas (TPU) > fused",
     )

@@ -23,8 +23,8 @@ from advanced_hpc_lbm_tpu.params import LBMParams
 from advanced_hpc_lbm_tpu.utils import io as lbm_io
 
 Backend = Literal[
-    "auto", "fused", "pallas", "pallas2", "pallask", "resident", "sharded",
-    "pipeline",
+    "auto", "fused", "pallas", "pallas2", "pallask", "resident", "stream",
+    "sharded", "pipeline",
 ]
 
 
@@ -168,7 +168,7 @@ class Simulation:
                 self.backend = backend = "pallas"
             else:
                 self.backend = backend = "fused"
-        if backend in ("resident", "pallas2", "pallask"):
+        if backend in ("resident", "pallas2", "pallask", "stream"):
             return None  # whole-run paths, resolved in run()
         if backend == "fused":
             return fused.fused_step
@@ -209,6 +209,21 @@ class Simulation:
                 lambda f, o: pallas_multi.run(f, o, self.params, n_iters=iters),
                 donate_argnums=0,
             )
+        if self.backend == "stream" and not debug:
+            from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+            if not pallas_stream.supported(self.params.ny, self.params.nx):
+                raise ValueError(
+                    f"grid {self.params.ny}x{self.params.nx} not tileable "
+                    "for the streaming kernel (TPU, lane-aligned nx, "
+                    "8-multiple ny required)"
+                )
+            return jax.jit(
+                lambda f, o: pallas_stream.run(
+                    f, o, self.params, n_iters=iters
+                ),
+                donate_argnums=0,
+            )
         if self.backend == "pallask" and not debug:
             from advanced_hpc_lbm_tpu.ops import pallas_k
 
@@ -227,7 +242,7 @@ class Simulation:
         # debug mode needs per-step host data; whole-run kernels fall back
         step_fn = (
             fused.fused_step
-            if self.backend in ("resident", "pallas2", "pallask")
+            if self.backend in ("resident", "pallas2", "pallask", "stream")
             else self._step_fn
         )
         return jax.jit(
@@ -253,13 +268,26 @@ class Simulation:
         if hbm is None:
             return
         state = 9 * self.params.ny * self.params.nx * 4
-        if 3 * state > 0.9 * hbm:
+        if self.backend == "stream":
+            # the streaming kernel's operands are HBM-resident with no XLA
+            # transients: just the two ping-pong state arrays + f32 mask
+            need = 2 * state + self.params.ny * self.params.nx * 4
+        else:
+            need = 3 * state  # in+out scan buffers + one transient copy
+        if need > 0.9 * hbm:
             raise ValueError(
                 f"grid {self.params.ny}x{self.params.nx} needs "
-                f"~{2 * state / 2**30:.1f} GB of HBM double-buffered "
-                f"(+transients), exceeding this chip's {hbm / 2**30:.0f} GB; "
+                f"~{need / 2**30:.1f} GB of HBM "
+                f"({'streaming' if self.backend == 'stream' else 'double-buffered +transients'}), "
+                f"exceeding this chip's {hbm / 2**30:.0f} GB; "
                 "shard it over a device mesh with --devices N or "
                 "--mesh MYxMX (parallel/halo.py)"
+                + (
+                    ""
+                    if self.backend == "stream"
+                    else ", or use --backend stream (HBM-streaming kernel, "
+                    "2 buffers instead of 3)"
+                )
             )
 
     def _sharded_runner(

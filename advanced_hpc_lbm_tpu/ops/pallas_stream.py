@@ -3,29 +3,33 @@
 The auto-pipelined K-step kernel (ops.pallas_k) spends most of its VMEM on
 Mosaic's double-buffered operand/output blocks (4 x 36*ty*nx) ON TOP of the
 two lean ping-pong windows the trapezoid actually computes in — which caps
-ty (the seam-recompute divisor, 2K/ty) well below what the chip could hold.
-This kernel drops the pipelined blocks entirely: the full distribution
-arrays stay in HBM (``pl.ANY``), and each grid step DMAs its ±K ghost
-window straight into one of two VMEM window buffers (double-buffered across
-tiles by hand), runs K liveness-lean steps ping-ponging against a shared
-scratch window, and DMAs its own rows straight back out.  VMEM per tile is
-3 windows + 2 mask windows ≈ (116 B)*(ty+2K)*nx — HALF of pallas_k's
-budget — so ty=128 fits at 4096^2 (seam 12.5% at K=8) and ty=64 at 8192^2,
-and grids whose two HBM buffers barely fit the chip (12288^2) can run at
-all: the kernel itself adds only ~70 MB of VMEM and zero XLA transients.
+ty (the seam-recompute divisor, 2K/ty) well below what the chip could hold:
+every raised-limit config fails to compile (BENCH.md round-3 probe).  This
+kernel drops the pipelined blocks entirely: the distribution arrays stay in
+HBM (``pl.ANY``), each grid step DMAs its ±K ghost window into one of two
+hand-double-buffered VMEM windows (ingress for tile i+1 overlaps tile i's
+compute), runs K liveness-lean steps ping-ponging against a shared scratch
+window, and DMAs its own rows straight back out.  VMEM per tile is 3
+windows + 2 mask windows ≈ 116 B * (ty+2K) * nx — half of pallas_k's
+budget — so ty=128 fits at 4096² (seam 2K/ty = 12.5%) and grids whose two
+HBM buffers barely fit the chip (12288²) can run at all: the kernel adds
+only ~70 MB of VMEM and zero XLA transients.
 
-K is fixed at 8: with ty % 8 == 0 every ingress/egress row offset
-(i*ty ± 8 mod ny) lands on the fp32 tile granule, which Mosaic's DMA
-engine requires (CLAUDE.md: no sub-granule row slices of tiled fp32).
+**Wrap-row padding.**  The state rides between calls as a (9, ny+2K, nx)
+array whose first/last K rows duplicate the periodic wrap rows, so every
+tile's ingress is ONE contiguous affine-offset DMA — measured constraint:
+the remote Mosaic compiler accepts DMA slice offsets that are affine in
+the grid index (``i*ty ± K``) but rejects ``%``/``jnp.where`` offset
+arithmetic and the multi-chunk pl.when-branched ingress assembling a
+wrap window in place (bisected on hardware, /tmp/stream_stage*.py round
+3).  The kernel maintains the padding itself: tile 0 additionally writes
+its first K rows to the bottom pad and tile n-1 its last K rows to the
+top pad, so the output is again a valid padded state and a whole
+``lax.scan`` runs with zero XLA-level re-padding.
 
-Pipeline (grid steps are sequential on the core; only DMAs overlap):
-
-  tile i:  wait ingress(i)          [started at tile i-1]
-           wait egress(i-1)         [its window buffer is reused next]
-           start ingress(i+1)       [into the other window buffer]
-           K lean steps             [window <-> shared scratch, K even:
-                                     the state ends back in the window]
-           start egress(i)          [own rows straight from the window]
+K is fixed at 8: with ty % 8 == 0 every ingress/egress row offset lands
+on the fp32 tile granule, which the DMA engine requires (CLAUDE.md: no
+sub-granule row slices of tiled fp32).
 
 Physics per step is kernel_common.lean_window_step — bit-identical to
 ops.pallas_k's lean body (same trapezoid wrap-garbage scheme, same forcing
@@ -86,7 +90,7 @@ def supported(ny: int, nx: int) -> bool:
 
 
 def _kernel(
-    f_any, om_any, out_any, tot_ref,
+    f_pad, om_pad, out_pad, tot_ref,
     p0, p1, d_scr, m0, m1,
     sem_f0, sem_f1, sem_m0, sem_m1, sem_o0, sem_o1,
     *, params: LBMParams, ty: int, ny: int, nx: int,
@@ -96,62 +100,49 @@ def _kernel(
     zero = jnp.float32(0.0)
     T = ty + 2 * K
 
-    def ingress_copies(j, pbuf, mbuf, sf, sm):
-        """The 5 DMAs that assemble tile j's ±K window: top K rows, main
-        ty rows, bottom K rows of f (each contiguous mod ny) + the mask
-        window in 2 chunks (mask rows [top, top+T) can wrap at most once;
-        split mirrors the f chunks).  Descriptors are pure functions of j
-        so the waiter can reconstruct them."""
-        base = j * ty
-        top = (base - K) % ny
-        bot = (base + ty) % ny
-        return [
-            pltpu.make_async_copy(
-                f_any.at[:, pl.ds(top, K), :], pbuf.at[:, 0:K, :], sf
-            ),
-            pltpu.make_async_copy(
-                f_any.at[:, pl.ds(base, ty), :], pbuf.at[:, K : K + ty, :], sf
-            ),
-            pltpu.make_async_copy(
-                f_any.at[:, pl.ds(bot, K), :], pbuf.at[:, K + ty : T, :], sf
-            ),
-            pltpu.make_async_copy(
-                om_any.at[pl.ds(top, K), :], mbuf.at[0:K, :], sm
-            ),
-            pltpu.make_async_copy(
-                om_any.at[pl.ds(base, ty), :], mbuf.at[K : K + ty, :], sm
-            ),
-            pltpu.make_async_copy(
-                om_any.at[pl.ds(bot, K), :], mbuf.at[K + ty : T, :], sm
-            ),
-        ]
+    def ingress(j, pbuf, mbuf, sf, sm, start: bool):
+        """Tile j's ±K window = padded rows [j*ty, j*ty + T): one
+        contiguous affine-offset DMA per operand.  Start and wait
+        reconstruct identical descriptors."""
+        cf = pltpu.make_async_copy(
+            f_pad.at[:, pl.ds(j * ty, T), :], pbuf, sf
+        )
+        cm = pltpu.make_async_copy(
+            om_pad.at[pl.ds(j * ty, T), :], mbuf, sm
+        )
+        if start:
+            cf.start()
+            cm.start()
+        else:
+            cf.wait()
+            cm.wait()
 
-    def egress_copy(j, pbuf, so):
+    def egress_main(j, pbuf, so):
         return pltpu.make_async_copy(
             pbuf.at[:, K : K + ty, :],
-            out_any.at[:, pl.ds(j * ty, ty), :],
+            out_pad.at[:, pl.ds(K + j * ty, ty), :],
             so,
         )
 
     def tile_body(pbuf, mbuf, sf, sm, so, so_other, pother, mother, sf_o, sm_o):
         """One tile on a statically-chosen window buffer pair."""
         # my ingress was started by tile i-1 (or just now for i == 0)
-        for cp in ingress_copies(i, pbuf, mbuf, sf, sm):
-            cp.wait()
+        ingress(i, pbuf, mbuf, sf, sm, start=False)
 
         # the OTHER buffer: tile i-1 computed in it and its egress may
         # still be in flight; drain before overwriting with ingress(i+1)
         @pl.when(i >= 1)
         def _drain_prev_egress():
-            egress_copy(i - 1, pother, so_other).wait()
+            egress_main(i - 1, pother, so_other).wait()
 
         @pl.when(i + 1 < n)
         def _prefetch_next():
-            for cp in ingress_copies(i + 1, pother, mother, sf_o, sm_o):
-                cp.start()
+            ingress(i + 1, pother, mother, sf_o, sm_o, start=True)
 
         w_obst = mbuf[...] != 0.0
         obst_main = mbuf[K : K + ty, :] != 0.0
+        # window row r <-> global row (i*ty - K + r) mod ny; the forcing
+        # row ny-2 can appear both as an own row and as a pad image
         accel_T = (
             (jax.lax.broadcasted_iota(jnp.int32, (T, nx), 0) + i * ty - K)
             % ny
@@ -167,16 +158,39 @@ def _kernel(
             src, dst = dst, src
         # K even: the final state sits back in pbuf (src after the swap)
 
-        egress_copy(i, pbuf, so).start()
+        egress_main(i, pbuf, so).start()
+
+        # maintain the wrap padding of the OUTPUT: tile 0's first K own
+        # rows are also the bottom pad (global rows [0, K)); the last
+        # tile's last K own rows are also the top pad ([ny-K, ny)).
+        # Tiny K-row copies, started+waited in-iteration on the other
+        # egress semaphore (idle for this tile's parity by construction).
+        @pl.when(i == 0)
+        def _bottom_pad():
+            c = pltpu.make_async_copy(
+                pbuf.at[:, K : 2 * K, :],
+                out_pad.at[:, K + ny : K + ny + K, :],
+                so_other,
+            )
+            c.start()
+            c.wait()
 
         @pl.when(i == n - 1)
-        def _drain_last():
-            egress_copy(i, pbuf, so).wait()
+        def _top_pad_and_drain():
+            c = pltpu.make_async_copy(
+                pbuf.at[:, ty : K + ty, :],
+                out_pad.at[:, 0:K, :],
+                so_other,
+            )
+            c.start()
+            c.wait()
+            egress_main(i, pbuf, so).wait()
 
     @pl.when(i == 0)
     def _first_ingress():
-        for cp in ingress_copies(0, p0, m0, sem_f0, sem_m0):
-            cp.start()
+        # pass the traced i (== 0 here) so the descriptor offsets stay
+        # traced affine expressions
+        ingress(i, p0, m0, sem_f0, sem_m0, start=True)
 
     @pl.when(i % 2 == 0)
     def _even():
@@ -203,15 +217,15 @@ def _build_call(params: LBMParams, ny: int, nx: int, ty: int, interpret: bool):
         kernel,
         grid=(ny // ty,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # f (full, HBM)
-            pl.BlockSpec(memory_space=pl.ANY),  # obstacle mask f32 (full)
+            pl.BlockSpec(memory_space=pl.ANY),  # f, wrap-padded (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # mask f32, wrap-padded
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # f_next (full, HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # f_next, wrap-padded
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((9, ny + 2 * K, nx), jnp.float32),
             jax.ShapeDtypeStruct((ny // ty, K), jnp.float32),
         ],
         scratch_shapes=[
@@ -237,30 +251,60 @@ def _build_call(params: LBMParams, ny: int, nx: int, ty: int, interpret: bool):
     )
 
 
+def pad_state(f: jax.Array) -> jax.Array:
+    """(9, ny, nx) -> (9, ny+2K, nx) with K periodic wrap rows each side."""
+    return jnp.concatenate([f[:, -K:, :], f, f[:, :K, :]], axis=1)
+
+
+def unpad_state(f_pad: jax.Array) -> jax.Array:
+    return f_pad[:, K:-K, :]
+
+
 def prepare_obstacles(obstacles: jax.Array) -> jax.Array:
-    return obstacles.astype(jnp.float32)
+    """Wrap-padded f32 mask plane."""
+    m = obstacles.astype(jnp.float32)
+    return jnp.concatenate([m[-K:], m, m[:K]], axis=0)
 
 
-def multi_step(
-    f: jax.Array,
-    obstacles_f32: jax.Array,
+def multi_step_padded(
+    f_pad: jax.Array,
+    obst_pad_f32: jax.Array,
     n_fluid: jax.Array,
     params: LBMParams,
     *,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Advance K=8 timesteps in one streamed pass; returns (f_next, av_8)."""
-    _, ny, nx = f.shape
+    """Advance K=8 timesteps on a wrap-padded state; returns
+    (f_pad_next, av_8).  The scan-ready form: padding in == padding out."""
+    _, nyp, nx = f_pad.shape
+    ny = nyp - 2 * K
     ty = _pick_tile_rows(ny, nx)
     if ty is None or nx % _LANE:
         raise ValueError(
             f"grid {ny}x{nx} not tileable for the streaming kernel"
         )
-    if obstacles_f32.dtype != jnp.float32:
-        obstacles_f32 = prepare_obstacles(obstacles_f32)
     call = _build_call(params, ny, nx, ty, interpret)
-    f_next, tots = call(f, obstacles_f32)
+    f_next, tots = call(f_pad, obst_pad_f32)
     return f_next, jnp.sum(tots, axis=0) / n_fluid
+
+
+def multi_step(
+    f: jax.Array,
+    obstacles_f32_pad: jax.Array,
+    n_fluid: jax.Array,
+    params: LBMParams,
+    *,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Advance K=8 timesteps from an unpadded state (pads/unpads around
+    one kernel pass — convenience/testing form; loops should scan
+    multi_step_padded)."""
+    if obstacles_f32_pad.shape[0] == f.shape[1]:
+        obstacles_f32_pad = prepare_obstacles(obstacles_f32_pad != 0.0)
+    f_pad, av = multi_step_padded(
+        pad_state(f), obstacles_f32_pad, n_fluid, params, interpret=interpret
+    )
+    return unpad_state(f_pad), av
 
 
 def run(
@@ -272,29 +316,35 @@ def run(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Full loop at K=8 steps per streamed pass (tail via the 1-step
-    kernel).  Drop-in for ops.fused.run_simulation; wrap in jax.jit."""
+    kernel).  Drop-in for ops.fused.run_simulation; wrap in jax.jit.
+    The state is padded ONCE, scanned in padded form (the kernel
+    maintains the wrap rows), and unpadded at the end."""
     iters = params.max_iters if n_iters is None else n_iters
     n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
-    obst_f = prepare_obstacles(obstacles)
+    obst_pad = prepare_obstacles(obstacles)
 
-    def one(f):
-        return multi_step(f, obst_f, n_fluid, params, interpret=interpret)
+    def one(f_pad):
+        return multi_step_padded(
+            f_pad, obst_pad, n_fluid, params, interpret=interpret
+        )
 
     # two kernel calls per scan iteration: with one opaque call per body
     # XLA copies the full state to update the carry in place (see
     # ops.fused.run_simulation / BENCH.md "hidden scan-carry copy")
-    def body(f, _):
-        f1, av1 = one(f)
+    def body(f_pad, _):
+        f1, av1 = one(f_pad)
         f2, av2 = one(f1)
         return f2, jnp.concatenate([av1, av2])
 
-    f, av_chunks = jax.lax.scan(body, f0, None, length=iters // (2 * K))
+    f_pad = pad_state(f0)
+    f_pad, av_chunks = jax.lax.scan(body, f_pad, None, length=iters // (2 * K))
     av = av_chunks.reshape(-1)
     done = (iters // (2 * K)) * 2 * K
     if iters - done >= K:
-        f, av_mid = one(f)
+        f_pad, av_mid = one(f_pad)
         av = jnp.concatenate([av, av_mid])
         done += K
+    f = unpad_state(f_pad)
     if iters - done:
         obst8 = pallas_step.prepare_obstacles(obstacles)
         for _ in range(iters - done):

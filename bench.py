@@ -105,6 +105,12 @@ def measure(size: str, iters: int, backend: str, repeats: int):
         runner = jax.jit(
             lambda f, o, n=iters: pallas_k.run(f, o, params, n_iters=n, k=kk)
         )
+    elif backend == "stream":
+        from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+        runner = jax.jit(
+            lambda f, o, n=iters: pallas_stream.run(f, o, params, n_iters=n)
+        )
     elif backend == "pallas2":
         from advanced_hpc_lbm_tpu.ops import pallas_multi
 
@@ -220,7 +226,8 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--backend",
         default="best",
-        choices=["best", "fused", "pallas", "pallas2", "pallask", "resident"],
+        choices=["best", "fused", "pallas", "pallas2", "pallask", "resident",
+                 "stream"],
     )
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument(

@@ -89,10 +89,11 @@ def main(argv=None) -> int:
         return 2 * 2 * pairs * nbytes / dt / 1e9
 
     # ---- build configs --------------------------------------------------
-    # A: size sweep at ty=min(256, ny)
+    # A: size sweep at a fixed 64-row block (4x double-buffered in+out
+    # blocks must fit the 100 MB scoped-VMEM limit: 4*36*ty*nx <= budget)
     sizes = [1024, 2048, 4096, 8192]
-    # B: block-shape sweep at 4096^2
-    tys = [8, 32, 128, 256, 512]
+    # B: block-shape sweep at 4096^2 (ty=128 is the largest that fits)
+    tys = [8, 32, 64, 128]
     # C: ballast sweep on the 1024^2 array
     ballasts = [0, 2, 6]  # x 600 MB
 
@@ -101,7 +102,8 @@ def main(argv=None) -> int:
     for n in sizes:
         nb = 9 * n * n * 4
         arrays[n] = jnp.ones((9, n, n), jnp.float32)
-        runners[("A", n)] = (make_runner(n, n, min(256, n), args.pairs),
+        ty = min(64, n, (100 * 2**20) // (4 * 36 * n) // 8 * 8)
+        runners[("A", n)] = (make_runner(n, n, ty, args.pairs),
                              arrays[n], nb)
     for ty in tys:
         nb = 9 * 4096 * 4096 * 4
