@@ -155,9 +155,25 @@ class Simulation:
             # work); XLA-fused jnp otherwise
             from advanced_hpc_lbm_tpu.ops import pallas_k, pallas_step, resident
 
+            from advanced_hpc_lbm_tpu.ops import pallas_stream
+
             ny, nx = self.params.ny, self.params.nx
+            hbm = _device_hbm_bytes()
+            state = 9 * ny * nx * 4
+            # the auto-pipelined paths double-buffer + carry one XLA
+            # transient (3x state); when that exceeds HBM but the
+            # streaming kernel's 2-buffers-no-transients footprint fits,
+            # fall through to it instead of failing loud later
+            pallask_fits = hbm is None or 3 * state <= 0.9 * hbm
             if resident.supported(ny, nx):
                 self.backend = backend = "resident"
+            elif (
+                ny * nx > 1024 * 1024
+                and not pallask_fits
+                and pallas_stream.supported(ny, nx)
+                and 2 * state + ny * nx * 4 <= 0.9 * (hbm or 0)
+            ):
+                self.backend = backend = "stream"
             elif (
                 ny * nx > 1024 * 1024
                 and pallas_step.supported(ny, nx)

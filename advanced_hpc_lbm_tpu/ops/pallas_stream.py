@@ -60,7 +60,15 @@ _WINDOW_BUDGET = 112 * 1024 * 1024
 
 def _pick_tile_rows(ny: int, nx: int) -> int | None:
     """Largest 8-multiple row count dividing ny whose 3 f windows + 2 mask
-    windows fit the budget.  Bigger ty => smaller seam recompute 2K/ty."""
+    windows + the step's live temporaries fit the budget.  Bigger ty =>
+    smaller seam recompute 2K/ty.
+
+    The 24 B/row temporary term is measured, not theoretical: at 12288²
+    ty=64 the windows alone fit (116 B/row = 114 MB) but the compiled
+    program carried 23.5 MB of register-allocator spill slots — the lean
+    step's ~6 live (T, nx) planes (rho/u_x/u_y/u_sq/base/pair temps) —
+    and OOM'd VMEM at 132.3/128 MB.  Charging them picks ty=48 there,
+    which compiles; every benchmarked size (2048²-8192²) keeps its tile."""
     override = os.environ.get("LBM_STREAM_TY")
     if override:
         ty = int(override)
@@ -69,7 +77,7 @@ def _pick_tile_rows(ny: int, nx: int) -> int | None:
         if ny % ty:
             continue
         t = ty + 2 * K
-        need = (3 * 9 * 4 + 2 * 4) * t * nx  # 116 B per window row
+        need = (3 * 9 * 4 + 2 * 4 + 6 * 4) * t * nx  # 140 B per window row
         if need <= _WINDOW_BUDGET and ty >= K:
             return ty
     return None
@@ -129,16 +137,6 @@ def _kernel(
         # my ingress was started by tile i-1 (or just now for i == 0)
         ingress(i, pbuf, mbuf, sf, sm, start=False)
 
-        # the OTHER buffer: tile i-1 computed in it and its egress may
-        # still be in flight; drain before overwriting with ingress(i+1)
-        @pl.when(i >= 1)
-        def _drain_prev_egress():
-            egress_main(i - 1, pother, so_other).wait()
-
-        @pl.when(i + 1 < n)
-        def _prefetch_next():
-            ingress(i + 1, pother, mother, sf_o, sm_o, start=True)
-
         w_obst = mbuf[...] != 0.0
         obst_main = mbuf[K : K + ty, :] != 0.0
         # window row r <-> global row (i*ty - K + r) mod ny; the forcing
@@ -148,13 +146,36 @@ def _kernel(
             % ny
         ) == (ny - 2)
 
-        src, dst = pbuf, d_scr
-        for s in range(K):
+        def step(s, src, dst):
             u_sq = kernel_common.lean_window_step(
                 src, dst, w_obst, accel_T, params, T, nx
             )
             norm = jnp.sqrt(jax.lax.slice_in_dim(u_sq, K, K + ty, axis=0))
             tot_ref[i, s] = jnp.sum(jnp.where(obst_main, zero, norm))
+
+        # two steps of compute first: tile i-1's egress (started at its
+        # end, reading pother) gets ~2 steps of wall time to complete, so
+        # the drain below never blocks.  Measured vs drain-first: ~parity
+        # at 2048^2/4096^2, +1.6% at 8192^2 (the kernel is compute-stall
+        # bound, not DMA-bound — BENCH.md round-3 stream table); kept for
+        # the structurally bubble-free pipeline.
+        src, dst = pbuf, d_scr
+        for s in range(2):
+            step(s, src, dst)
+            src, dst = dst, src
+
+        # the OTHER buffer: drain tile i-1's egress before overwriting
+        # it with ingress(i+1), which then overlaps the remaining steps
+        @pl.when(i >= 1)
+        def _drain_prev_egress():
+            egress_main(i - 1, pother, so_other).wait()
+
+        @pl.when(i + 1 < n)
+        def _prefetch_next():
+            ingress(i + 1, pother, mother, sf_o, sm_o, start=True)
+
+        for s in range(2, K):
+            step(s, src, dst)
             src, dst = dst, src
         # K even: the final state sits back in pbuf (src after the swap)
 

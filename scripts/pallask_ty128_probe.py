@@ -35,14 +35,14 @@ def main() -> int:
     # (n, k, ty, iters) — first entry per size is the shipped config;
     # k="stream" is the manual-DMA streaming kernel (ops.pallas_stream,
     # K=8 fixed, ty auto)
+    # the ty-raised pallask configs are measured-dead (fail to compile
+    # even at 127 MiB — BENCH.md round 3); stream vs shipped per size
     configs = [
+        (2048, 4, 128, 4000),
+        (2048, "stream", 0, 4000),
         (4096, 6, 64, 1200),
-        (4096, 6, 128, 1200),
-        (4096, 8, 128, 1200),
         (4096, "stream", 0, 1200),
         (8192, 6, 32, 400),
-        (8192, 6, 64, 400),
-        (8192, 8, 64, 400),
         (8192, "stream", 0, 400),
     ]
 

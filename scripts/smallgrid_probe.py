@@ -34,6 +34,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", nargs="*", type=int, default=[128, 256])
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument(
+        "--variants", nargs="*",
+        default=["v0", "v1", "v2", "v3", "v4"],
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -41,7 +45,9 @@ def main(argv=None) -> int:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from advanced_hpc_lbm_tpu.ops import lattice, reference, resident
+    from advanced_hpc_lbm_tpu.ops import (
+        kernel_common, lattice, reference, resident,
+    )
     from advanced_hpc_lbm_tpu.params import LBMParams
     from advanced_hpc_lbm_tpu.utils import cache
 
@@ -131,8 +137,32 @@ def main(argv=None) -> int:
         pair(8, u_x - u_y)
         return u_sq
 
+    def step_value(src, dst, obst, accel_rows, params, ny, nx):
+        """V4: value-form step — force/stream/collide on VALUES (the naive
+        three-list form kernel_common.forced + collide), one store per
+        plane at the end.  At 1024^2 this form spills ~2 buffers of VMEM
+        (BENCH.md round 2) but at <=512^2 planes are <=1 MB and the
+        hypothesis is Mosaic's scheduler buys ILP the ref-store lean form
+        gives up (the small-grid floor is issue/ILP-bound, not op-count
+        bound — V1-V3 measured ~4% total)."""
+        planes = [src[kk] for kk in range(lattice.NSPEEDS)]
+        planes = kernel_common.forced(planes, obst, accel_rows, params)
+        streamed = []
+        for kk in range(lattice.NSPEEDS):
+            cy, cx = int(lattice.CY[kk]), int(lattice.CX[kk])
+            p = planes[kk]
+            if cy:
+                p = pltpu.roll(p, cy % ny, axis=0)
+            if cx:
+                p = pltpu.roll(p, cx % nx, axis=1)
+            streamed.append(p)
+        out, u_sq = kernel_common.collide(streamed, obst, params)
+        for kk in range(lattice.NSPEEDS):
+            dst[kk] = out[kk]
+        return u_sq
+
     def make_chunk_call(params, ny, nx, n_steps, variant: str):
-        """variant in {'v1','v2','v3'}; V0 uses ops.resident directly."""
+        """variant in {'v1','v2','v3','v4'}; V0 uses ops.resident directly."""
         skip0 = True
         gran = variant in ("v2", "v3")
         rowsum = variant == "v3"
@@ -144,10 +174,16 @@ def main(argv=None) -> int:
             )
             fluid = jnp.where(obst, jnp.float32(0.0), jnp.float32(1.0))
 
-            step = functools.partial(
-                step_variant, obst=obst, accel_rows=accel_rows,
-                params=params, ny=ny, nx=nx, skip0=skip0, gran=gran,
-            )
+            if variant == "v4":
+                step = functools.partial(
+                    step_value, obst=obst, accel_rows=accel_rows,
+                    params=params, ny=ny, nx=nx,
+                )
+            else:
+                step = functools.partial(
+                    step_variant, obst=obst, accel_rows=accel_rows,
+                    params=params, ny=ny, nx=nx, skip0=skip0, gran=gran,
+                )
 
             if rowsum:
                 assert n_steps % 8 == 0
@@ -259,7 +295,7 @@ def main(argv=None) -> int:
 
         runners[n] = {
             "params": params, "iters": iters,
-            "variants": {v: mk(v) for v in ("v0", "v1", "v2", "v3")},
+            "variants": {v: mk(v) for v in args.variants},
         }
 
     # ----- correctness gates --------------------------------------------

@@ -91,3 +91,39 @@ def test_forcing_row_in_ghost_image(deck):
         np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-8
     )
     np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
+
+
+def test_auto_falls_through_to_stream(monkeypatch):
+    """Grids whose 3x-state pallask footprint exceeds HBM but whose
+    2-buffer streaming footprint fits auto-select the streaming backend
+    instead of failing loud later (models/d2q9_bgk._resolve_backend)."""
+    from advanced_hpc_lbm_tpu.models import d2q9_bgk
+
+    monkeypatch.setattr(d2q9_bgk, "_device_hbm_bytes", lambda: 16 * 2**30)
+    monkeypatch.setattr(pallas_stream, "supported", lambda ny, nx: True)
+    params = LBMParams(
+        nx=12288, ny=12288, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    sim = d2q9_bgk.Simulation(
+        params, np.zeros((12288, 12288), dtype=bool), backend="auto"
+    )
+    assert sim.backend == "stream"
+
+
+def test_auto_keeps_pallask_when_it_fits(monkeypatch):
+    from advanced_hpc_lbm_tpu.models import d2q9_bgk
+    from advanced_hpc_lbm_tpu.ops import pallas_k, pallas_step, resident
+
+    monkeypatch.setattr(d2q9_bgk, "_device_hbm_bytes", lambda: 16 * 2**30)
+    monkeypatch.setattr(resident, "supported", lambda ny, nx: False)
+    monkeypatch.setattr(pallas_step, "supported", lambda ny, nx: True)
+    monkeypatch.setattr(pallas_k, "best_k", lambda ny, nx: 6)
+    params = LBMParams(
+        nx=4096, ny=4096, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    sim = d2q9_bgk.Simulation(
+        params, np.zeros((4096, 4096), dtype=bool), backend="auto"
+    )
+    assert sim.backend == "pallask"
