@@ -328,6 +328,45 @@ def multi_step(
     return unpad_state(f_pad), av
 
 
+def run_padded(
+    f_pad: jax.Array,
+    obst_pad: jax.Array,
+    n_fluid: jax.Array,
+    params: LBMParams,
+    *,
+    n_iters: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """The K-multiple part of the loop on an ALREADY-padded state:
+    ``n_iters`` must be a multiple of K.  Split out so huge grids can
+    donate the padded carry into a jit that holds only the two ping-pong
+    buffers — the single-jit :func:`run` peaks at unpadded-input + two
+    padded buffers, which at 12288² is 160 MB over the chip's 15.75 GB
+    HBM (measured compile OOM, round 3)."""
+    assert n_iters % K == 0
+    def one(f_p):
+        return multi_step_padded(
+            f_p, obst_pad, n_fluid, params, interpret=interpret
+        )
+
+    # two kernel calls per scan iteration: with one opaque call per body
+    # XLA copies the full state to update the carry in place (see
+    # ops.fused.run_simulation / BENCH.md "hidden scan-carry copy")
+    def body(f_p, _):
+        f1, av1 = one(f_p)
+        f2, av2 = one(f1)
+        return f2, jnp.concatenate([av1, av2])
+
+    f_pad, av_chunks = jax.lax.scan(
+        body, f_pad, None, length=n_iters // (2 * K)
+    )
+    av = av_chunks.reshape(-1)
+    if n_iters % (2 * K):
+        f_pad, av_mid = one(f_pad)
+        av = jnp.concatenate([av, av_mid])
+    return f_pad, av
+
+
 def run(
     f0: jax.Array,
     obstacles: jax.Array,
@@ -339,32 +378,20 @@ def run(
     """Full loop at K=8 steps per streamed pass (tail via the 1-step
     kernel).  Drop-in for ops.fused.run_simulation; wrap in jax.jit.
     The state is padded ONCE, scanned in padded form (the kernel
-    maintains the wrap rows), and unpadded at the end."""
+    maintains the wrap rows), and unpadded at the end.  For grids near
+    the HBM limit prefer :func:`make_split_runner`."""
     iters = params.max_iters if n_iters is None else n_iters
     n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
     obst_pad = prepare_obstacles(obstacles)
 
-    def one(f_pad):
-        return multi_step_padded(
-            f_pad, obst_pad, n_fluid, params, interpret=interpret
-        )
-
-    # two kernel calls per scan iteration: with one opaque call per body
-    # XLA copies the full state to update the carry in place (see
-    # ops.fused.run_simulation / BENCH.md "hidden scan-carry copy")
-    def body(f_pad, _):
-        f1, av1 = one(f_pad)
-        f2, av2 = one(f1)
-        return f2, jnp.concatenate([av1, av2])
-
     f_pad = pad_state(f0)
-    f_pad, av_chunks = jax.lax.scan(body, f_pad, None, length=iters // (2 * K))
-    av = av_chunks.reshape(-1)
-    done = (iters // (2 * K)) * 2 * K
-    if iters - done >= K:
-        f_pad, av_mid = one(f_pad)
-        av = jnp.concatenate([av, av_mid])
-        done += K
+    done = iters - iters % K
+    av = jnp.zeros((0,), jnp.float32)
+    if done:
+        f_pad, av = run_padded(
+            f_pad, obst_pad, n_fluid, params, n_iters=done,
+            interpret=interpret,
+        )
     f = unpad_state(f_pad)
     if iters - done:
         obst8 = pallas_step.prepare_obstacles(obstacles)
@@ -374,3 +401,123 @@ def run(
             )
             av = jnp.concatenate([av, av_last[None]])
     return f, av
+
+
+def make_split_runner(
+    obstacles: jax.Array,
+    params: LBMParams,
+    *,
+    n_iters: int,
+    interpret: bool = False,
+):
+    """HBM-frugal runner for grids whose state is a large fraction of the
+    chip: jit(pad, donate f0) → a PYTHON loop of jit(double-pass, donate
+    carry) → jit(tail + unpad, donate carry).
+
+    Four measured failure modes shaped this (all at 12288², round 3):
+    * single-jit run(): unpadded input + two padded buffers live together
+      → compile OOM, 160 MB over the 15.75 GB HBM;
+    * obstacles as closure constants: baked into the serialized HLO →
+      remote-compile request over the relay's size limit (HTTP 413) —
+      they ride as ARGUMENTS instead;
+    * lax.scan over the padded carry: XLA keeps the while-body parameter
+      live through the body, so carry + both per-pass outputs coexist
+      (3 × 5.44 GB) → runtime ResourceExhausted.  The Python loop of
+      donated double-pass jits aliases padded→padded, peaking at TWO
+      buffers; its per-call dispatch cost amortizes against ~16 steps of
+      9 ms device work per call in this regime.
+    * an UNSYNCHRONIZED Python loop of those jits: dispatch is async and
+      each enqueued call allocates its 5.44 GB output buffer up front,
+      so the loop runs arbitrarily far ahead of the device and the
+      in-flight outputs alone exhaust HBM (stream12288e probe).  runner()
+      blocks on each pass before dispatching the next — a ~ms sync
+      round-trip against ~150 ms of device work per call.
+
+    The phases are AOT-compiled on first use and cached on the returned
+    callable; ``runner.warmup()`` compiles ALL phases without executing a
+    step, so the CLI warmup contract holds without running a full deck
+    (minutes of device time at these sizes).  Returns
+    ``runner(f0) -> (f, av)``."""
+    ny, nx = params.ny, params.nx
+    n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
+    obst_pad = prepare_obstacles(obstacles)
+    done = n_iters - n_iters % K
+    tail_n = n_iters - done
+    obst8 = pallas_step.prepare_obstacles(obstacles) if tail_n else None
+
+    def double_pass(fp, op, nf):
+        f1, av1 = multi_step_padded(fp, op, nf, params, interpret=interpret)
+        f2, av2 = multi_step_padded(f1, op, nf, params, interpret=interpret)
+        return f2, jnp.concatenate([av1, av2])
+
+    def single_pass(fp, op, nf):
+        return multi_step_padded(fp, op, nf, params, interpret=interpret)
+
+    def finish(fp, o8, nf):
+        f = unpad_state(fp)
+        avs = []
+        for _ in range(tail_n):
+            f, av_last = pallas_step.pallas_fused_step(
+                f, o8, nf, params, interpret=interpret
+            )
+            avs.append(av_last[None])
+        if avs:
+            return f, jnp.concatenate(avs)
+        return f, jnp.zeros((0,), jnp.float32)
+
+    f0_s = jax.ShapeDtypeStruct((9, ny, nx), jnp.float32)
+    fp_s = jax.ShapeDtypeStruct((9, ny + 2 * K, nx), jnp.float32)
+    op_s = jax.ShapeDtypeStruct(obst_pad.shape, obst_pad.dtype)
+    nf_s = jax.ShapeDtypeStruct((), jnp.float32)
+    o8_s = (
+        jax.ShapeDtypeStruct(obst8.shape, obst8.dtype) if tail_n else None
+    )
+
+    # held as explicit AOT executables: jit's dispatch cache is NOT
+    # seeded by .lower().compile(), so warmup-compiled programs would
+    # otherwise recompile on the first real call
+    exes: dict[str, object] = {}
+
+    def _exe(name, fn, *shapes):
+        if name not in exes:
+            exes[name] = (
+                jax.jit(fn, donate_argnums=0).lower(*shapes).compile()
+            )
+        return exes[name]
+
+    def warmup():
+        _exe("pad", pad_state, f0_s)
+        if done // (2 * K):
+            _exe("double", double_pass, fp_s, op_s, nf_s)
+        if done % (2 * K):
+            _exe("single", single_pass, fp_s, op_s, nf_s)
+        _exe("finish", finish, fp_s, o8_s, nf_s)
+
+    def runner(f0):
+        fp = _exe("pad", pad_state, f0_s)(f0)
+        av_parts = []
+        for _ in range(done // (2 * K)):
+            fp, av2 = _exe("double", double_pass, fp_s, op_s, nf_s)(
+                fp, obst_pad, n_fluid
+            )
+            jax.block_until_ready(fp)  # bound in-flight output buffers
+            av_parts.append(av2)
+        if done % (2 * K):
+            fp, av1 = _exe("single", single_pass, fp_s, op_s, nf_s)(
+                fp, obst_pad, n_fluid
+            )
+            av_parts.append(av1)
+        f, av_tail = _exe("finish", finish, fp_s, o8_s, nf_s)(
+            fp, obst8, n_fluid
+        )
+        if tail_n:
+            av_parts.append(av_tail)
+        av = (
+            jnp.concatenate(av_parts)
+            if av_parts
+            else jnp.zeros((0,), jnp.float32)
+        )
+        return f, av
+
+    runner.warmup = warmup
+    return runner

@@ -62,6 +62,17 @@ def _make_runner(name, steps):
             f"{steps} steps via the liveness-lean K-step ghost-zone kernel "
             f"(K={k}) at 2048x2048 — {steps // k} HBM passes"
         )
+    elif name == "stream4096":
+        from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+        n = 4096
+        params = LBMParams(n, n, steps, 10, 0.1, 0.01, 1.85)
+        fn = lambda f, o: pallas_stream.run(f, o, params, n_iters=steps)
+        desc = (
+            f"{steps} steps via the manual-DMA streaming kernel (K=8, "
+            f"ty={pallas_stream._pick_tile_rows(n, n)}) at 4096x4096 — "
+            "for the stall-source comparison against pallask"
+        )
     else:
         raise SystemExit(f"unknown config {name!r}")
     runner = jax.jit(fn)

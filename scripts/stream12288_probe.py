@@ -45,10 +45,12 @@ def main(argv=None) -> int:
     ty = pallas_stream._pick_tile_rows(n, n)
     print(f"ty={ty} window={(ty or 0) + 2 * pallas_stream.K} rows", flush=True)
 
-    runner = jax.jit(
-        lambda f, o: pallas_stream.run(f, o, params, n_iters=args.iters),
-        donate_argnums=0,
+    # three-phase runner: the single-jit run() holds unpadded input + two
+    # padded buffers and compile-OOMs HBM by 160 MB at 12288^2
+    runner_split = pallas_stream.make_split_runner(
+        obst, params, n_iters=args.iters
     )
+    runner = lambda f, o: runner_split(f)
     f0 = reference.initial_state(params)
     tic = time.perf_counter()
     f, av = runner(f0, obst)
@@ -59,6 +61,7 @@ def main(argv=None) -> int:
     print(f"warm pass (incl. compile): {warm:.1f}s", flush=True)
 
     for r in range(3):
+        del f  # 5.4 GB: free the last round's result before allocating
         f0 = reference.initial_state(params)
         tic = time.perf_counter()
         f, av = runner(f0, obst)

@@ -68,6 +68,28 @@ def test_run_full_loop_with_tail(deck):
     np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
 
 
+def test_split_runner_matches_run(deck):
+    """make_split_runner (the HBM-frugal three-phase path for
+    barely-fits grids) is numerically identical to the single-jit run():
+    27 = 1 double pass + 1 single pass + 3 tail steps exercises every
+    phase, and warmup() must AOT-compile without executing a step."""
+    params, mask = deck
+    obst = jnp.asarray(mask)
+    n_iters = 27
+    fa, ava = fused.run_simulation(
+        reference.initial_state(params), obst, params, n_iters=n_iters
+    )
+    split = pallas_stream.make_split_runner(
+        obst, params, n_iters=n_iters, interpret=True
+    )
+    split.warmup()  # compiles all phases; must not run the deck
+    fb, avb = split(reference.initial_state(params))
+    np.testing.assert_allclose(
+        np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
+
+
 def test_forcing_row_in_ghost_image(deck):
     """The forcing row (ny-2) sits K-deep in the wrap ghost of tile 0's
     window; the mod-ny row-id mask must force it there too.  A taller
