@@ -151,7 +151,9 @@ def main(argv: list[str] | None = None) -> int:
     with timers.phase("compute"):
         try:
             result = _run_sim(sim, args)
-        except FloatingPointError as e:
+        except (FloatingPointError, ValueError) as e:
+            # ValueError: flag-composition errors on paths that skip the
+            # Init warmup (checkpoint/resume) — same clean die() contract
             print(f"Error: {e}", file=sys.stderr)
             return 1
 

@@ -305,6 +305,13 @@ class Simulation:
         else:
             need = 3 * state  # in+out scan buffers + one transient copy
         if need > 0.9 * hbm:
+            # only suggest the streaming backend when its own 2-buffer
+            # footprint would actually fit — otherwise the user follows
+            # the hint straight into a second failure
+            stream_need = 2 * state + self.params.ny * self.params.nx * 4
+            stream_helps = (
+                self.backend != "stream" and stream_need <= 0.9 * hbm
+            )
             raise ValueError(
                 f"grid {self.params.ny}x{self.params.nx} needs "
                 f"~{need / 2**30:.1f} GB of HBM "
@@ -313,11 +320,42 @@ class Simulation:
                 "shard it over a device mesh with --devices N or "
                 "--mesh MYxMX (parallel/halo.py)"
                 + (
-                    ""
-                    if self.backend == "stream"
-                    else ", or use --backend stream (HBM-streaming kernel, "
+                    ", or use --backend stream (HBM-streaming kernel, "
                     "2 buffers instead of 3)"
+                    if stream_helps
+                    else ""
                 )
+            )
+
+    def _is_sharded(
+        self, devices: int | None, mesh: tuple[int, int] | None
+    ) -> bool:
+        """One definition of 'this run is sharded' for warmup(), run() and
+        _run_checkpointed — diverging copies here would make warmup warm a
+        different path than run dispatches."""
+        return (
+            self.backend == "sharded"
+            or (devices is not None and devices > 1)
+            or mesh is not None
+        )
+
+    def _validate_flags(
+        self, sharded: bool, *, debug: bool, ca_steps: int
+    ) -> None:
+        """Flag-composition errors, raised from BOTH warmup() and run() so
+        a bad combination dies before warmup executes anything (the CLI
+        warms during Init — a post-warmup raise would waste a full compile
+        + first run)."""
+        if ca_steps > 1 and not sharded:
+            raise ValueError(
+                "ca_steps > 1 is a property of the halo exchange and needs "
+                "the sharded backend (--devices N or --mesh MYxMX); on one "
+                "device use the pallask backend for time tiling instead"
+            )
+        if sharded and debug:
+            raise ValueError(
+                "debug density collection needs per-step host data and is "
+                "not supported on the sharded backend"
             )
 
     def _sharded_runner(
@@ -372,14 +410,14 @@ class Simulation:
         is cached per config and reused by ``run``).  No-op for the
         checkpointed path (segments build their own programs)."""
         iters = self.params.max_iters if n_iters is None else n_iters
-        sharded = (
-            self.backend == "sharded"
-            or (devices is not None and devices > 1)
-            or mesh is not None
-        )
+        sharded = self._is_sharded(devices, mesh)
+        self._validate_flags(sharded, debug=debug, ca_steps=ca_steps)
         if sharded:
             from advanced_hpc_lbm_tpu.parallel import halo
 
+            key = ("warmed", iters, devices, shard_kernel, mesh, ca_steps)
+            if key in self._compiled:
+                return
             runner, sh = self._sharded_runner(
                 iters, devices, shard_kernel, mesh, ca_steps
             )
@@ -389,6 +427,7 @@ class Simulation:
             )
             # also absorb the one-time device->host path cost (see below)
             jax.tree.map(np.asarray, out)
+            self._compiled[key] = True
             return
         self._check_single_chip_fit()
         key = (iters, debug)
@@ -456,22 +495,8 @@ class Simulation:
         no-op and ``check_finite`` applies during the run.
         """
         iters = self.params.max_iters if n_iters is None else n_iters
-        sharded = (
-            self.backend == "sharded"
-            or (devices is not None and devices > 1)
-            or mesh is not None
-        )
-        if ca_steps > 1 and not sharded:
-            raise ValueError(
-                "ca_steps > 1 is a property of the halo exchange and needs "
-                "the sharded backend (--devices N or --mesh MYxMX); on one "
-                "device use the pallask backend for time tiling instead"
-            )
-        if sharded and debug:
-            raise ValueError(
-                "debug density collection needs per-step host data and is "
-                "not supported on the sharded backend"
-            )
+        sharded = self._is_sharded(devices, mesh)
+        self._validate_flags(sharded, debug=debug, ca_steps=ca_steps)
         if not sharded:
             self._check_single_chip_fit()
         if checkpoint_every or resume:
@@ -591,11 +616,7 @@ class Simulation:
                 av_parts.append(np.asarray(av_prev)[:start])
 
         # segments use the same backend configuration a straight run would
-        sharded = (
-            self.backend == "sharded"
-            or (devices is not None and devices > 1)
-            or mesh is not None
-        )
+        sharded = self._is_sharded(devices, mesh)
         density_parts: list[np.ndarray] = []
         if sharded:
             from advanced_hpc_lbm_tpu.parallel import halo

@@ -44,6 +44,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -414,7 +415,7 @@ def make_split_runner(
     chip: jit(pad, donate f0) → a PYTHON loop of jit(double-pass, donate
     carry) → jit(tail + unpad, donate carry).
 
-    Four measured failure modes shaped this (all at 12288², round 3):
+    Five measured failure modes shaped this (all at 12288², round 3):
     * single-jit run(): unpadded input + two padded buffers live together
       → compile OOM, 160 MB over the 15.75 GB HBM;
     * obstacles as closure constants: baked into the serialized HLO →
@@ -422,16 +423,19 @@ def make_split_runner(
       they ride as ARGUMENTS instead;
     * lax.scan over the padded carry: XLA keeps the while-body parameter
       live through the body, so carry + both per-pass outputs coexist
-      (3 × 5.44 GB) → runtime ResourceExhausted.  The Python loop of
-      donated double-pass jits aliases padded→padded, peaking at TWO
-      buffers; its per-call dispatch cost amortizes against ~16 steps of
-      9 ms device work per call in this regime.
+      (3 × 5.44 GB) → runtime ResourceExhausted;
+    * a DOUBLE-pass jit in a Python loop: donation aliases a parameter
+      only to an *output of the executable*, never to the internal
+      buffer between the two kernel calls, so param + intermediate +
+      output again makes three (stream12288f probe) — each jit here
+      therefore runs exactly ONE kernel pass (the two-calls-per-body
+      trick only matters inside a scan carry, which this loop replaces);
     * an UNSYNCHRONIZED Python loop of those jits: dispatch is async and
       each enqueued call allocates its 5.44 GB output buffer up front,
       so the loop runs arbitrarily far ahead of the device and the
       in-flight outputs alone exhaust HBM (stream12288e probe).  runner()
       blocks on each pass before dispatching the next — a ~ms sync
-      round-trip against ~150 ms of device work per call.
+      round-trip against ~75 ms of device work per call.
 
     The phases are AOT-compiled on first use and cached on the returned
     callable; ``runner.warmup()`` compiles ALL phases without executing a
@@ -444,11 +448,6 @@ def make_split_runner(
     done = n_iters - n_iters % K
     tail_n = n_iters - done
     obst8 = pallas_step.prepare_obstacles(obstacles) if tail_n else None
-
-    def double_pass(fp, op, nf):
-        f1, av1 = multi_step_padded(fp, op, nf, params, interpret=interpret)
-        f2, av2 = multi_step_padded(f1, op, nf, params, interpret=interpret)
-        return f2, jnp.concatenate([av1, av2])
 
     def single_pass(fp, op, nf):
         return multi_step_padded(fp, op, nf, params, interpret=interpret)
@@ -478,34 +477,40 @@ def make_split_runner(
     # otherwise recompile on the first real call
     exes: dict[str, object] = {}
 
-    def _exe(name, fn, *shapes):
+    def _exe(name, fn, *shapes, donate=True):
         if name not in exes:
-            exes[name] = (
-                jax.jit(fn, donate_argnums=0).lower(*shapes).compile()
-            )
+            kw = {"donate_argnums": 0} if donate else {}
+            exes[name] = jax.jit(fn, **kw).lower(*shapes).compile()
         return exes[name]
 
+    # the K-pass jit must NOT donate: its padded->padded donation IS
+    # usable, and XLA satisfies it by writing the kernel output to a
+    # full-state TEMP then copying into the param's buffer (the custom
+    # call can't write in-place while reading) — measured
+    # memory_analysis at 12288²: alias=5.07G AND temp=5.07G, i.e. same
+    # 2-buffer peak as no-donation plus a 10 GB/pass hidden copy.  The
+    # serialized loop + fp rebinding already bound the peak at 2.  pad
+    # keeps donation for a different reason: it INVALIDATES the
+    # caller's f0 (callers hold a reference; without donation the
+    # unpadded state would stay live through the whole run).
     def warmup():
         _exe("pad", pad_state, f0_s)
-        if done // (2 * K):
-            _exe("double", double_pass, fp_s, op_s, nf_s)
-        if done % (2 * K):
-            _exe("single", single_pass, fp_s, op_s, nf_s)
+        if done:
+            _exe("single", single_pass, fp_s, op_s, nf_s, donate=False)
         _exe("finish", finish, fp_s, o8_s, nf_s)
 
     def runner(f0):
         fp = _exe("pad", pad_state, f0_s)(f0)
         av_parts = []
-        for _ in range(done // (2 * K)):
-            fp, av2 = _exe("double", double_pass, fp_s, op_s, nf_s)(
-                fp, obst_pad, n_fluid
-            )
-            jax.block_until_ready(fp)  # bound in-flight output buffers
-            av_parts.append(av2)
-        if done % (2 * K):
-            fp, av1 = _exe("single", single_pass, fp_s, op_s, nf_s)(
-                fp, obst_pad, n_fluid
-            )
+        for _ in range(done // K):
+            fp, av1 = _exe(
+                "single", single_pass, fp_s, op_s, nf_s, donate=False
+            )(fp, obst_pad, n_fluid)
+            # bound in-flight output buffers with a REAL sync: a tiny
+            # host materialization of this pass's av.  block_until_ready
+            # does not reliably wait through the axon relay (CLAUDE.md),
+            # so it cannot serialize the dispatch loop
+            np.asarray(av1)
             av_parts.append(av1)
         f, av_tail = _exe("finish", finish, fp_s, o8_s, nf_s)(
             fp, obst8, n_fluid

@@ -265,7 +265,6 @@ def main(argv=None) -> int:
             }
         )
     )
-    nx, ny = (int(v) for v in args.size.split("x"))
     print(
         f"# backend={backend} iters={args.iters} best={min(times):.3f}s "
         f"median={sorted(times)[len(times) // 2]:.3f}s ({glups_med:.2f} "

@@ -51,11 +51,12 @@ def test_multi_step_matches_k_oracle_steps(deck):
 
 
 def test_run_full_loop_with_tail(deck):
-    """2 scan pairs + a K-sized mid chunk + a 1-step tail (35 = 2*16 + 8
-    + 3 single steps) — exercises every composition path in run()."""
+    """2 scan pairs + a K-sized mid chunk + a 1-step tail (43 = 2*16 + 8
+    + 3 single steps) — exercises every composition path in run(),
+    including run_padded's odd mid-chunk branch (done % 2K == K)."""
     params, mask = deck
     obst = jnp.asarray(mask)
-    n_iters = 35
+    n_iters = 43
     f0 = reference.initial_state(params)
     fa, ava = fused.run_simulation(f0, obst, params, n_iters=n_iters)
     fb, avb = pallas_stream.run(
@@ -71,8 +72,8 @@ def test_run_full_loop_with_tail(deck):
 def test_split_runner_matches_run(deck):
     """make_split_runner (the HBM-frugal three-phase path for
     barely-fits grids) is numerically identical to the single-jit run():
-    27 = 1 double pass + 1 single pass + 3 tail steps exercises every
-    phase, and warmup() must AOT-compile without executing a step."""
+    27 = 3 single K-passes + 3 tail steps exercises every phase, and
+    warmup() must AOT-compile without executing a step."""
     params, mask = deck
     obst = jnp.asarray(mask)
     n_iters = 27
@@ -113,6 +114,43 @@ def test_forcing_row_in_ghost_image(deck):
         np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-8
     )
     np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
+
+
+def test_multi_tile_pipeline(deck, monkeypatch):
+    """Force ty=16 so the 32-row deck runs THREE tiles (grid=(2,) per
+    pass over 2 passes of the pipeline machinery): cross-tile prefetch,
+    parity double-buffering, deferred egress drain, and the top/bottom
+    pad writes coming from DIFFERENT tiles (0 and n-1) are all dead code
+    on the default single-tile test grids — a drain-order or pad-offset
+    bug for n>1 would otherwise only surface as silent corruption on
+    hardware."""
+    params, mask = deck
+    monkeypatch.setenv("LBM_STREAM_TY", "16")
+    obst = jnp.asarray(mask)
+    n_fluid = jnp.sum(~obst).astype(jnp.float32)
+    f = reference.initial_state(params)
+
+    f_ref = f
+    avs_ref = []
+    for _ in range(2 * pallas_stream.K):
+        f_ref, av = fused.fused_step(f_ref, obst, n_fluid, params)
+        avs_ref.append(float(av))
+
+    obst_pad = pallas_stream.prepare_obstacles(obst)
+    f_s, av1 = pallas_stream.multi_step(
+        f, obst_pad, n_fluid, params, interpret=True
+    )
+    f_s, av2 = pallas_stream.multi_step(
+        f_s, obst_pad, n_fluid, params, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_s), np.asarray(f_ref), rtol=1e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(av1), np.asarray(av2)]),
+        avs_ref,
+        rtol=5e-4,
+    )
 
 
 def test_auto_falls_through_to_stream(monkeypatch):
