@@ -100,9 +100,9 @@ def supported(ny: int, nx: int) -> bool:
 
 def _kernel(
     f_pad, om_pad, out_pad, tot_ref,
-    p0, p1, d_scr, m0, m1,
+    p0, p1, d_scr, m0, m1, stash,
     sem_f0, sem_f1, sem_m0, sem_m1, sem_o0, sem_o1,
-    *, params: LBMParams, ty: int, ny: int, nx: int,
+    *, params: LBMParams, ty: int, ny: int, nx: int, inplace: bool,
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -134,9 +134,30 @@ def _kernel(
         )
 
     def tile_body(pbuf, mbuf, sf, sm, so, so_other, pother, mother, sf_o, sm_o):
-        """One tile on a statically-chosen window buffer pair."""
+        """One tile on a statically-chosen window buffer pair.
+
+        Two schedules share this body.  Out-of-place (two HBM buffers):
+        egress(i) starts at the end of iteration i and is drained two
+        compute steps into iteration i+1.  In-place (out_pad ALIASES
+        f_pad, one HBM buffer): egress(i) may not start until
+        ingress(i+1) has COMPLETED — they overlap on K rows, and tile
+        i+1 must read the OLD values — so it starts at the top of
+        iteration i+1 (right after that wait) and drains two steps
+        later; the wrap pads, which every later tile's ingress still
+        needs old images of, are deferred to the LAST iteration (tile
+        0's new first-K rows ride in the ``stash`` scratch).  Every
+        write-read overlap pair is separated by an in-program wait; the
+        sequential interpret mode executes the same order, so oracle
+        equivalence there validates the schedule."""
         # my ingress was started by tile i-1 (or just now for i == 0)
         ingress(i, pbuf, mbuf, sf, sm, start=False)
+
+        if inplace:
+            # safe now: my window (the only old-value reader of tile
+            # i-1's K-row overlap) is fully in VMEM
+            @pl.when(i >= 1)
+            def _start_prev_egress():
+                egress_main(i - 1, pother, so_other).start()
 
         w_obst = mbuf[...] != 0.0
         obst_main = mbuf[K : K + ty, :] != 0.0
@@ -154,10 +175,10 @@ def _kernel(
             norm = jnp.sqrt(jax.lax.slice_in_dim(u_sq, K, K + ty, axis=0))
             tot_ref[i, s] = jnp.sum(jnp.where(obst_main, zero, norm))
 
-        # two steps of compute first: tile i-1's egress (started at its
-        # end, reading pother) gets ~2 steps of wall time to complete, so
-        # the drain below never blocks.  Measured vs drain-first: ~parity
-        # at 2048^2/4096^2, +1.6% at 8192^2 (the kernel is compute-stall
+        # two steps of compute first: tile i-1's egress (reading pother)
+        # gets ~2 steps of wall time to complete, so the drain below
+        # never blocks.  Measured vs drain-first: ~parity at
+        # 2048^2/4096^2, +1.6% at 8192^2 (the kernel is compute-stall
         # bound, not DMA-bound — BENCH.md round-3 stream table); kept for
         # the structurally bubble-free pipeline.
         src, dst = pbuf, d_scr
@@ -180,33 +201,65 @@ def _kernel(
             src, dst = dst, src
         # K even: the final state sits back in pbuf (src after the swap)
 
-        egress_main(i, pbuf, so).start()
+        if not inplace:
+            egress_main(i, pbuf, so).start()
 
-        # maintain the wrap padding of the OUTPUT: tile 0's first K own
-        # rows are also the bottom pad (global rows [0, K)); the last
-        # tile's last K own rows are also the top pad ([ny-K, ny)).
-        # Tiny K-row copies, started+waited in-iteration on the other
-        # egress semaphore (idle for this tile's parity by construction).
-        @pl.when(i == 0)
-        def _bottom_pad():
-            c = pltpu.make_async_copy(
-                pbuf.at[:, K : 2 * K, :],
-                out_pad.at[:, K + ny : K + ny + K, :],
-                so_other,
-            )
-            c.start()
-            c.wait()
+            # maintain the wrap padding of the OUTPUT: tile 0's first K
+            # own rows are also the high pad (images of global rows
+            # [0, K)); the last tile's last K own rows are also the low
+            # pad ([ny-K, ny)).  Tiny K-row copies, started+waited
+            # in-iteration on the other egress semaphore (idle for this
+            # tile's parity by construction).
+            @pl.when(i == 0)
+            def _high_pad():
+                c = pltpu.make_async_copy(
+                    pbuf.at[:, K : 2 * K, :],
+                    out_pad.at[:, K + ny : K + ny + K, :],
+                    so_other,
+                )
+                c.start()
+                c.wait()
 
-        @pl.when(i == n - 1)
-        def _top_pad_and_drain():
-            c = pltpu.make_async_copy(
-                pbuf.at[:, ty : K + ty, :],
-                out_pad.at[:, 0:K, :],
-                so_other,
-            )
-            c.start()
-            c.wait()
-            egress_main(i, pbuf, so).wait()
+            @pl.when(i == n - 1)
+            def _low_pad_and_drain():
+                c = pltpu.make_async_copy(
+                    pbuf.at[:, ty : K + ty, :],
+                    out_pad.at[:, 0:K, :],
+                    so_other,
+                )
+                c.start()
+                c.wait()
+                egress_main(i, pbuf, so).wait()
+        else:
+            # tile n-1's ingress reads the OLD high pad, so the new one
+            # (tile 0's computed first-K rows) must wait until the final
+            # iteration — park it in the stash scratch (persists across
+            # the sequential grid)
+            @pl.when(i == 0)
+            def _stash_high_pad():
+                stash[...] = pbuf[:, K : 2 * K, :]
+
+            @pl.when(i == n - 1)
+            def _finish_inplace():
+                # by here every ingress has completed (mine was waited
+                # above; earlier tiles' long before), so the remaining
+                # writes are hazard-free: own rows, then both wrap pads
+                egress_main(i, pbuf, so).start()
+                c_low = pltpu.make_async_copy(
+                    pbuf.at[:, ty : K + ty, :],
+                    out_pad.at[:, 0:K, :],
+                    so_other,
+                )
+                c_low.start()
+                c_low.wait()
+                c_high = pltpu.make_async_copy(
+                    stash,
+                    out_pad.at[:, K + ny : K + ny + K, :],
+                    so_other,
+                )
+                c_high.start()
+                c_high.wait()
+                egress_main(i, pbuf, so).wait()
 
     @pl.when(i == 0)
     def _first_ingress():
@@ -230,10 +283,17 @@ def _kernel(
 
 
 @functools.lru_cache(maxsize=16)
-def _build_call(params: LBMParams, ny: int, nx: int, ty: int, interpret: bool):
+def _build_call(
+    params: LBMParams,
+    ny: int,
+    nx: int,
+    ty: int,
+    interpret: bool,
+    inplace: bool = False,
+):
     T = ty + 2 * K
     kernel = functools.partial(
-        _kernel, params=params, ty=ty, ny=ny, nx=nx
+        _kernel, params=params, ty=ty, ny=ny, nx=nx, inplace=inplace
     )
     return pl.pallas_call(
         kernel,
@@ -250,12 +310,16 @@ def _build_call(params: LBMParams, ny: int, nx: int, ty: int, interpret: bool):
             jax.ShapeDtypeStruct((9, ny + 2 * K, nx), jnp.float32),
             jax.ShapeDtypeStruct((ny // ty, K), jnp.float32),
         ],
+        # in-place: f_next IS f (one HBM state buffer total); the kernel
+        # runs the hazard-ordered schedule (see tile_body docstring)
+        input_output_aliases={0: 0} if inplace else {},
         scratch_shapes=[
             pltpu.VMEM((9, T, nx), jnp.float32),  # window A
             pltpu.VMEM((9, T, nx), jnp.float32),  # window B
             pltpu.VMEM((9, T, nx), jnp.float32),  # shared step scratch
             pltpu.VMEM((T, nx), jnp.float32),  # mask window A
             pltpu.VMEM((T, nx), jnp.float32),  # mask window B
+            pltpu.VMEM((9, K, nx), jnp.float32),  # high-pad stash (inplace)
             pltpu.SemaphoreType.DMA(()),  # ingress f, buffer A
             pltpu.SemaphoreType.DMA(()),  # ingress f, buffer B
             pltpu.SemaphoreType.DMA(()),  # ingress mask, buffer A
@@ -288,6 +352,24 @@ def prepare_obstacles(obstacles: jax.Array) -> jax.Array:
     return jnp.concatenate([m[-K:], m, m[:K]], axis=0)
 
 
+def initial_state_padded(params: LBMParams) -> jax.Array:
+    """Equilibrium-at-rest built DIRECTLY at the wrap-padded shape
+    (uniform per-plane values, so padding == interior;
+    d2q9-bgk.c:2802-2823).  For grids whose unpadded state alone is a
+    large fraction of HBM (16384²+), pad_state(initial_state(...)) would
+    hold unpadded + padded together; this never does."""
+    d = params.density_f32
+    per_speed = jnp.asarray(
+        [d * np.float32(4.0 / 9.0)]
+        + [d / np.float32(9.0)] * 4
+        + [d / np.float32(36.0)] * 4,
+        dtype=jnp.float32,
+    )
+    return jnp.broadcast_to(
+        per_speed[:, None, None], (9, params.ny + 2 * K, params.nx)
+    )
+
+
 def multi_step_padded(
     f_pad: jax.Array,
     obst_pad_f32: jax.Array,
@@ -295,9 +377,13 @@ def multi_step_padded(
     params: LBMParams,
     *,
     interpret: bool = False,
+    inplace: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Advance K=8 timesteps on a wrap-padded state; returns
-    (f_pad_next, av_8).  The scan-ready form: padding in == padding out."""
+    (f_pad_next, av_8).  The scan-ready form: padding in == padding out.
+    With ``inplace`` the result aliases (consumes) ``f_pad`` — ONE HBM
+    state buffer total, which is what lets 16384²+ run on a single chip
+    and lets XLA update a scan carry with zero copies."""
     _, nyp, nx = f_pad.shape
     ny = nyp - 2 * K
     ty = _pick_tile_rows(ny, nx)
@@ -305,7 +391,7 @@ def multi_step_padded(
         raise ValueError(
             f"grid {ny}x{nx} not tileable for the streaming kernel"
         )
-    call = _build_call(params, ny, nx, ty, interpret)
+    call = _build_call(params, ny, nx, ty, interpret, inplace)
     f_next, tots = call(f_pad, obst_pad_f32)
     return f_next, jnp.sum(tots, axis=0) / n_fluid
 
@@ -337,18 +423,29 @@ def run_padded(
     *,
     n_iters: int,
     interpret: bool = False,
+    inplace: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """The K-multiple part of the loop on an ALREADY-padded state:
     ``n_iters`` must be a multiple of K.  Split out so huge grids can
     donate the padded carry into a jit that holds only the two ping-pong
     buffers — the single-jit :func:`run` peaks at unpadded-input + two
     padded buffers, which at 12288² is 160 MB over the chip's 15.75 GB
-    HBM (measured compile OOM, round 3)."""
+    HBM (measured compile OOM, round 3).  ``inplace`` scans the aliased
+    one-buffer kernel instead: the carry is updated literally in place,
+    so there is no hidden scan-carry copy to dodge and one call per
+    body suffices."""
     assert n_iters % K == 0
     def one(f_p):
         return multi_step_padded(
-            f_p, obst_pad, n_fluid, params, interpret=interpret
+            f_p, obst_pad, n_fluid, params, interpret=interpret,
+            inplace=inplace,
         )
+
+    if inplace:
+        f_pad, av_chunks = jax.lax.scan(
+            lambda f_p, _: one(f_p), f_pad, None, length=n_iters // K
+        )
+        return f_pad, av_chunks.reshape(-1)
 
     # two kernel calls per scan iteration: with one opaque call per body
     # XLA copies the full state to update the carry in place (see
@@ -375,12 +472,15 @@ def run(
     *,
     n_iters: int | None = None,
     interpret: bool = False,
+    inplace: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Full loop at K=8 steps per streamed pass (tail via the 1-step
     kernel).  Drop-in for ops.fused.run_simulation; wrap in jax.jit.
     The state is padded ONCE, scanned in padded form (the kernel
-    maintains the wrap rows), and unpadded at the end.  For grids near
-    the HBM limit prefer :func:`make_split_runner`."""
+    maintains the wrap rows), and unpadded at the end.  ``inplace``
+    holds ONE padded state buffer through the scan (aliased kernel) —
+    the mode for grids whose state is a large fraction of HBM; see also
+    :func:`make_split_runner` for the two-buffer split-phase variant."""
     iters = params.max_iters if n_iters is None else n_iters
     n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
     obst_pad = prepare_obstacles(obstacles)
@@ -391,7 +491,7 @@ def run(
     if done:
         f_pad, av = run_padded(
             f_pad, obst_pad, n_fluid, params, n_iters=done,
-            interpret=interpret,
+            interpret=interpret, inplace=inplace,
         )
     f = unpad_state(f_pad)
     if iters - done:
@@ -452,6 +552,11 @@ def make_split_runner(
     def single_pass(fp, op, nf):
         return multi_step_padded(fp, op, nf, params, interpret=interpret)
 
+    def peek(fp):
+        # tiny slice used as a sync point (see runner): transferring its
+        # result to host waits for everything enqueued before it
+        return fp[0, 0, :_LANE]
+
     def finish(fp, o8, nf):
         f = unpad_state(fp)
         avs = []
@@ -483,29 +588,37 @@ def make_split_runner(
             exes[name] = jax.jit(fn, **kw).lower(*shapes).compile()
         return exes[name]
 
-    # the K-pass jit must NOT donate: its padded->padded donation IS
-    # usable, and XLA satisfies it by writing the kernel output to a
-    # full-state TEMP then copying into the param's buffer (the custom
-    # call can't write in-place while reading) — measured
-    # memory_analysis at 12288²: alias=5.07G AND temp=5.07G, i.e. same
-    # 2-buffer peak as no-donation plus a 10 GB/pass hidden copy.  The
-    # serialized loop + fp rebinding already bound the peak at 2.  pad
-    # keeps donation for a different reason: it INVALIDATES the
-    # caller's f0 (callers hold a reference; without donation the
-    # unpadded state would stay live through the whole run).
+    # the K-pass jit MUST donate.  The pl.ANY-output pallas call gets a
+    # full-state TEMP plus a copy to the executable's output buffer in
+    # EITHER donation mode (measured memory_analysis at 12288², donated:
+    # out=5.07G alias=5.07G AND temp=5.07G — the custom call cannot
+    # write the aliased param while reading it); donation lets that
+    # output buffer BE the param's allocation, so the peak is param+temp
+    # = 2 state buffers (runs, stream12288_debug replay), where the
+    # non-donated form peaks at param+temp+out = 3 (15.77 GiB, OOM by
+    # ~20 MB — stream12288i probe).  pad donates for a second reason:
+    # it INVALIDATES the caller's f0 (callers hold a reference; without
+    # donation the unpadded state would stay live through the run).
     def warmup():
         _exe("pad", pad_state, f0_s)
+        _exe("peek", peek, fp_s, donate=False)
         if done:
-            _exe("single", single_pass, fp_s, op_s, nf_s, donate=False)
+            _exe("single", single_pass, fp_s, op_s, nf_s)
         _exe("finish", finish, fp_s, o8_s, nf_s)
 
     def runner(f0):
         fp = _exe("pad", pad_state, f0_s)(f0)
+        # sync before dispatching the first pass: while pad is still
+        # executing it holds BOTH f0 and the padded output; buffers the
+        # first pass allocates at enqueue would coexist with them
+        # (measured OOM in the stream12288h probe).  Every later
+        # boundary is covered by the per-pass sync below.
+        np.asarray(_exe("peek", peek, fp_s, donate=False)(fp))
         av_parts = []
         for _ in range(done // K):
-            fp, av1 = _exe(
-                "single", single_pass, fp_s, op_s, nf_s, donate=False
-            )(fp, obst_pad, n_fluid)
+            fp, av1 = _exe("single", single_pass, fp_s, op_s, nf_s)(
+                fp, obst_pad, n_fluid
+            )
             # bound in-flight output buffers with a REAL sync: a tiny
             # host materialization of this pass's av.  block_until_ready
             # does not reliably wait through the axon relay (CLAUDE.md),

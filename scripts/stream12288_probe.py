@@ -51,9 +51,10 @@ def main(argv=None) -> int:
         obst, params, n_iters=args.iters
     )
     runner = lambda f, o: runner_split(f)
+    del obst  # 0.14 GB on device: the runner holds its own padded mask
     f0 = reference.initial_state(params)
     tic = time.perf_counter()
-    f, av = runner(f0, obst)
+    f, av = runner(f0, None)
     av_h = np.asarray(av)
     f.block_until_ready()
     warm = time.perf_counter() - tic
@@ -64,7 +65,7 @@ def main(argv=None) -> int:
         del f  # 5.4 GB: free the last round's result before allocating
         f0 = reference.initial_state(params)
         tic = time.perf_counter()
-        f, av = runner(f0, obst)
+        f, av = runner(f0, None)
         np.asarray(av)
         f.block_until_ready()
         dt = time.perf_counter() - tic

@@ -116,6 +116,62 @@ def test_forcing_row_in_ghost_image(deck):
     np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
 
 
+@pytest.mark.parametrize("force_ty", [None, "16"])
+def test_inplace_matches_oracle(deck, monkeypatch, force_ty):
+    """The in-place (input_output_aliases) schedule is bit-equivalent to
+    the out-of-place kernel: single-tile AND forced 3-tile (ty=16 on the
+    32-row deck) — the multi-tile case exercises the deferred
+    egress-start, the high-pad stash, and the last-iteration pad writes.
+    Interpret mode executes the same program order the semaphores
+    enforce on hardware, so oracle equality here validates the
+    hazard-ordered schedule."""
+    params, mask = deck
+    if force_ty:
+        monkeypatch.setenv("LBM_STREAM_TY", force_ty)
+    obst = jnp.asarray(mask)
+    n_fluid = jnp.sum(~obst).astype(jnp.float32)
+
+    f_ref = reference.initial_state(params)
+    avs_ref = []
+    for _ in range(2 * pallas_stream.K):
+        f_ref, av = fused.fused_step(f_ref, obst, n_fluid, params)
+        avs_ref.append(float(av))
+
+    obst_pad = pallas_stream.prepare_obstacles(obst)
+    fp = pallas_stream.pad_state(reference.initial_state(params))
+    avs = []
+    for _ in range(2):
+        fp, av = pallas_stream.multi_step_padded(
+            fp, obst_pad, n_fluid, params, interpret=True, inplace=True
+        )
+        avs.append(np.asarray(av))
+    np.testing.assert_allclose(
+        np.asarray(pallas_stream.unpad_state(fp)),
+        np.asarray(f_ref),
+        rtol=1e-5,
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(np.concatenate(avs), avs_ref, rtol=5e-4)
+
+
+def test_inplace_run_full_loop(deck):
+    """run(inplace=True): one-call-per-body scan + tail composition."""
+    params, mask = deck
+    obst = jnp.asarray(mask)
+    n_iters = 27
+    fa, ava = fused.run_simulation(
+        reference.initial_state(params), obst, params, n_iters=n_iters
+    )
+    fb, avb = pallas_stream.run(
+        reference.initial_state(params), obst, params,
+        n_iters=n_iters, interpret=True, inplace=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
+
+
 def test_multi_tile_pipeline(deck, monkeypatch):
     """Force ty=16 so the 32-row deck runs THREE tiles (grid=(2,) per
     pass over 2 passes of the pipeline machinery): cross-tile prefetch,
