@@ -236,21 +236,15 @@ class Simulation:
                 )
             state = 9 * self.params.ny * self.params.nx * 4
             hbm = _device_hbm_bytes()
-            if hbm is not None and 3 * state > 0.85 * hbm:
-                # single-jit run() peaks at unpadded input + two padded
-                # buffers — 160 MB over HBM at 12288² (measured compile
-                # OOM); the three-phase runner donates between jits and
-                # holds at most two state buffers.  Wrapped so warmup can
-                # find .warmup() (phase AOT compile without execution).
-                split = pallas_stream.make_split_runner(
-                    jnp.asarray(self.obstacles), self.params, n_iters=iters
-                )
-                wrapped = lambda f, o: split(f)
-                wrapped.warmup = split.warmup
-                return wrapped
+            # two-buffer run() peaks at unpadded input + two padded
+            # buffers (3x state — 160 MB over HBM at 12288², measured
+            # compile OOM); the in-place kernel scans ONE aliased buffer,
+            # peaking at 2x state (f0 + padded carry, then carry +
+            # unpadded result) — 12288² measured 15.86 GLUPS (BENCH.md)
+            inplace = hbm is not None and 3 * state > 0.85 * hbm
             return jax.jit(
                 lambda f, o: pallas_stream.run(
-                    f, o, self.params, n_iters=iters
+                    f, o, self.params, n_iters=iters, inplace=inplace
                 ),
                 donate_argnums=0,
             )
@@ -434,17 +428,6 @@ class Simulation:
         if key in self._compiled:
             return
         runner = self._make_device_runner(iters, debug)
-        if not hasattr(runner, "lower"):
-            # composite runner (the stream split-phase path): no single
-            # AOT program — compile each phase via its warmup hook (a
-            # full execution here would run the whole deck: minutes of
-            # device time at the sizes that select this path), then
-            # absorb the process's first device->host transfer cost with
-            # a tiny materialization
-            runner.warmup()
-            np.asarray(jnp.zeros((8, 128), jnp.float32) + 1.0)
-            self._compiled[key] = runner
-            return
         f_s = jax.ShapeDtypeStruct(
             (9, self.params.ny, self.params.nx), jnp.float32
         )

@@ -479,8 +479,11 @@ def run(
     The state is padded ONCE, scanned in padded form (the kernel
     maintains the wrap rows), and unpadded at the end.  ``inplace``
     holds ONE padded state buffer through the scan (aliased kernel) —
-    the mode for grids whose state is a large fraction of HBM; see also
-    :func:`make_split_runner` for the two-buffer split-phase variant."""
+    the mode for grids whose state is a large fraction of HBM (12288²
+    measured 15.86 GLUPS; for 16384²+ skip this wrapper's unpadded
+    input/output entirely: :func:`initial_state_padded` +
+    :func:`run_padded` + plane-wise fetch, see
+    scripts/stream_inplace_probe.py)."""
     iters = params.max_iters if n_iters is None else n_iters
     n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
     obst_pad = prepare_obstacles(obstacles)
@@ -502,140 +505,3 @@ def run(
             )
             av = jnp.concatenate([av, av_last[None]])
     return f, av
-
-
-def make_split_runner(
-    obstacles: jax.Array,
-    params: LBMParams,
-    *,
-    n_iters: int,
-    interpret: bool = False,
-):
-    """HBM-frugal runner for grids whose state is a large fraction of the
-    chip: jit(pad, donate f0) → a PYTHON loop of jit(double-pass, donate
-    carry) → jit(tail + unpad, donate carry).
-
-    Five measured failure modes shaped this (all at 12288², round 3):
-    * single-jit run(): unpadded input + two padded buffers live together
-      → compile OOM, 160 MB over the 15.75 GB HBM;
-    * obstacles as closure constants: baked into the serialized HLO →
-      remote-compile request over the relay's size limit (HTTP 413) —
-      they ride as ARGUMENTS instead;
-    * lax.scan over the padded carry: XLA keeps the while-body parameter
-      live through the body, so carry + both per-pass outputs coexist
-      (3 × 5.44 GB) → runtime ResourceExhausted;
-    * a DOUBLE-pass jit in a Python loop: donation aliases a parameter
-      only to an *output of the executable*, never to the internal
-      buffer between the two kernel calls, so param + intermediate +
-      output again makes three (stream12288f probe) — each jit here
-      therefore runs exactly ONE kernel pass (the two-calls-per-body
-      trick only matters inside a scan carry, which this loop replaces);
-    * an UNSYNCHRONIZED Python loop of those jits: dispatch is async and
-      each enqueued call allocates its 5.44 GB output buffer up front,
-      so the loop runs arbitrarily far ahead of the device and the
-      in-flight outputs alone exhaust HBM (stream12288e probe).  runner()
-      blocks on each pass before dispatching the next — a ~ms sync
-      round-trip against ~75 ms of device work per call.
-
-    The phases are AOT-compiled on first use and cached on the returned
-    callable; ``runner.warmup()`` compiles ALL phases without executing a
-    step, so the CLI warmup contract holds without running a full deck
-    (minutes of device time at these sizes).  Returns
-    ``runner(f0) -> (f, av)``."""
-    ny, nx = params.ny, params.nx
-    n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
-    obst_pad = prepare_obstacles(obstacles)
-    done = n_iters - n_iters % K
-    tail_n = n_iters - done
-    obst8 = pallas_step.prepare_obstacles(obstacles) if tail_n else None
-
-    def single_pass(fp, op, nf):
-        return multi_step_padded(fp, op, nf, params, interpret=interpret)
-
-    def peek(fp):
-        # tiny slice used as a sync point (see runner): transferring its
-        # result to host waits for everything enqueued before it
-        return fp[0, 0, :_LANE]
-
-    def finish(fp, o8, nf):
-        f = unpad_state(fp)
-        avs = []
-        for _ in range(tail_n):
-            f, av_last = pallas_step.pallas_fused_step(
-                f, o8, nf, params, interpret=interpret
-            )
-            avs.append(av_last[None])
-        if avs:
-            return f, jnp.concatenate(avs)
-        return f, jnp.zeros((0,), jnp.float32)
-
-    f0_s = jax.ShapeDtypeStruct((9, ny, nx), jnp.float32)
-    fp_s = jax.ShapeDtypeStruct((9, ny + 2 * K, nx), jnp.float32)
-    op_s = jax.ShapeDtypeStruct(obst_pad.shape, obst_pad.dtype)
-    nf_s = jax.ShapeDtypeStruct((), jnp.float32)
-    o8_s = (
-        jax.ShapeDtypeStruct(obst8.shape, obst8.dtype) if tail_n else None
-    )
-
-    # held as explicit AOT executables: jit's dispatch cache is NOT
-    # seeded by .lower().compile(), so warmup-compiled programs would
-    # otherwise recompile on the first real call
-    exes: dict[str, object] = {}
-
-    def _exe(name, fn, *shapes, donate=True):
-        if name not in exes:
-            kw = {"donate_argnums": 0} if donate else {}
-            exes[name] = jax.jit(fn, **kw).lower(*shapes).compile()
-        return exes[name]
-
-    # the K-pass jit MUST donate.  The pl.ANY-output pallas call gets a
-    # full-state TEMP plus a copy to the executable's output buffer in
-    # EITHER donation mode (measured memory_analysis at 12288², donated:
-    # out=5.07G alias=5.07G AND temp=5.07G — the custom call cannot
-    # write the aliased param while reading it); donation lets that
-    # output buffer BE the param's allocation, so the peak is param+temp
-    # = 2 state buffers (runs, stream12288_debug replay), where the
-    # non-donated form peaks at param+temp+out = 3 (15.77 GiB, OOM by
-    # ~20 MB — stream12288i probe).  pad donates for a second reason:
-    # it INVALIDATES the caller's f0 (callers hold a reference; without
-    # donation the unpadded state would stay live through the run).
-    def warmup():
-        _exe("pad", pad_state, f0_s)
-        _exe("peek", peek, fp_s, donate=False)
-        if done:
-            _exe("single", single_pass, fp_s, op_s, nf_s)
-        _exe("finish", finish, fp_s, o8_s, nf_s)
-
-    def runner(f0):
-        fp = _exe("pad", pad_state, f0_s)(f0)
-        # sync before dispatching the first pass: while pad is still
-        # executing it holds BOTH f0 and the padded output; buffers the
-        # first pass allocates at enqueue would coexist with them
-        # (measured OOM in the stream12288h probe).  Every later
-        # boundary is covered by the per-pass sync below.
-        np.asarray(_exe("peek", peek, fp_s, donate=False)(fp))
-        av_parts = []
-        for _ in range(done // K):
-            fp, av1 = _exe("single", single_pass, fp_s, op_s, nf_s)(
-                fp, obst_pad, n_fluid
-            )
-            # bound in-flight output buffers with a REAL sync: a tiny
-            # host materialization of this pass's av.  block_until_ready
-            # does not reliably wait through the axon relay (CLAUDE.md),
-            # so it cannot serialize the dispatch loop
-            np.asarray(av1)
-            av_parts.append(av1)
-        f, av_tail = _exe("finish", finish, fp_s, o8_s, nf_s)(
-            fp, obst8, n_fluid
-        )
-        if tail_n:
-            av_parts.append(av_tail)
-        av = (
-            jnp.concatenate(av_parts)
-            if av_parts
-            else jnp.zeros((0,), jnp.float32)
-        )
-        return f, av
-
-    runner.warmup = warmup
-    return runner

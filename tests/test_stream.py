@@ -69,26 +69,14 @@ def test_run_full_loop_with_tail(deck):
     np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
 
 
-def test_split_runner_matches_run(deck):
-    """make_split_runner (the HBM-frugal three-phase path for
-    barely-fits grids) is numerically identical to the single-jit run():
-    27 = 3 single K-passes + 3 tail steps exercises every phase, and
-    warmup() must AOT-compile without executing a step."""
-    params, mask = deck
-    obst = jnp.asarray(mask)
-    n_iters = 27
-    fa, ava = fused.run_simulation(
-        reference.initial_state(params), obst, params, n_iters=n_iters
+def test_initial_state_padded_matches_pad(deck):
+    """Padded-native equilibrium == pad_state(initial_state) — the
+    16384²+ entry point that never holds unpadded + padded together."""
+    params, _ = deck
+    np.testing.assert_array_equal(
+        np.asarray(pallas_stream.initial_state_padded(params)),
+        np.asarray(pallas_stream.pad_state(reference.initial_state(params))),
     )
-    split = pallas_stream.make_split_runner(
-        obst, params, n_iters=n_iters, interpret=True
-    )
-    split.warmup()  # compiles all phases; must not run the deck
-    fb, avb = split(reference.initial_state(params))
-    np.testing.assert_allclose(
-        np.asarray(fb), np.asarray(fa), rtol=1e-5, atol=1e-7
-    )
-    np.testing.assert_allclose(np.asarray(avb), np.asarray(ava), rtol=5e-4)
 
 
 def test_forcing_row_in_ghost_image(deck):
