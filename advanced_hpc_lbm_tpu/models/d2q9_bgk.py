@@ -317,7 +317,11 @@ class Simulation:
                     ", or use --backend stream (HBM-streaming kernel, "
                     "2 buffers instead of 3)"
                     if stream_helps
-                    else ""
+                    else ", or drive the single-buffer padded-native API "
+                    "directly (pallas_stream.initial_state_padded + "
+                    "run_padded(inplace=True) + plane-wise fetch — runs "
+                    "16384^2/18432^2 on one chip, see "
+                    "scripts/stream_inplace_probe.py)"
                 )
             )
 
