@@ -168,6 +168,19 @@ class Simulation:
             if resident.supported(ny, nx):
                 self.backend = backend = "resident"
             elif (
+                ny * nx >= 8192 * 8192
+                and pallas_stream.supported(ny, nx)
+                and (
+                    hbm is None
+                    or 2 * state + ny * nx * 4 <= 0.9 * hbm
+                )
+            ):
+                # ≥ 8192² the in-place streaming kernel is the measured
+                # winner (16.46 vs pallask 15.97 GLUPS interleaved,
+                # scripts/inplace8192_compare.py) at one third the HBM;
+                # below that pallask's seam-light auto-pipeline wins
+                self.backend = backend = "stream"
+            elif (
                 ny * nx > 1024 * 1024
                 and not pallask_fits
                 and pallas_stream.supported(ny, nx)
@@ -234,17 +247,16 @@ class Simulation:
                     "for the streaming kernel (TPU, lane-aligned nx, "
                     "8-multiple ny required)"
                 )
-            state = 9 * self.params.ny * self.params.nx * 4
-            hbm = _device_hbm_bytes()
-            # two-buffer run() peaks at unpadded input + two padded
-            # buffers (3x state — 160 MB over HBM at 12288², measured
-            # compile OOM); the in-place kernel scans ONE aliased buffer,
-            # peaking at 2x state (f0 + padded carry, then carry +
-            # unpadded result) — 12288² measured 15.86 GLUPS (BENCH.md)
-            inplace = hbm is not None and 3 * state > 0.85 * hbm
+            # always the in-place (aliased, single-buffer) scan: measured
+            # FASTER than the two-buffer form at 8192² (16.46 vs 16.22
+            # GLUPS interleaved, scripts/inplace8192_compare.py), peak
+            # HBM 2x state instead of 3x (f0 + padded carry, then carry +
+            # unpadded result), and the only form that runs 12288²
+            # (15.86 GLUPS, one 5.07 GiB buffer — every two-buffer
+            # variant OOM'd, BENCH.md "The in-place kernel")
             return jax.jit(
                 lambda f, o: pallas_stream.run(
-                    f, o, self.params, n_iters=iters, inplace=inplace
+                    f, o, self.params, n_iters=iters, inplace=True
                 ),
                 donate_argnums=0,
             )

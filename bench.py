@@ -36,7 +36,7 @@ MATRIX = [
     ("1024x1024", 20000, 28.25),
     ("2048x2048", 4000, 20.2),
     ("4096x4096", 1200, 18.15),
-    ("8192x8192", 400, 16.06),
+    ("8192x8192", 400, 16.46),  # stream in-place (round 3); pallask read 16.06
 ]
 MATRIX_TOLERANCE = 0.15  # fail below recorded * (1 - tolerance)
 
@@ -61,10 +61,17 @@ def resolve_backend(backend: str, ny: int, nx: int) -> str:
     if backend != "best":
         return backend
     try:
-        from advanced_hpc_lbm_tpu.ops import pallas_k, pallas_step, resident
+        from advanced_hpc_lbm_tpu.ops import (
+            pallas_k, pallas_step, pallas_stream, resident,
+        )
 
         if resident.supported(ny, nx):
             return "resident"
+        if ny * nx >= 8192 * 8192 and pallas_stream.supported(ny, nx):
+            # the in-place streaming kernel is the measured ≥8192² winner
+            # (16.46 vs pallask 15.97 GLUPS interleaved) — mirrors the
+            # model's auto selection
+            return "stream"
         if (
             ny * nx > 1024 * 1024
             and pallas_step.supported(ny, nx)
@@ -109,7 +116,9 @@ def measure(size: str, iters: int, backend: str, repeats: int):
         from advanced_hpc_lbm_tpu.ops import pallas_stream
 
         runner = jax.jit(
-            lambda f, o, n=iters: pallas_stream.run(f, o, params, n_iters=n)
+            lambda f, o, n=iters: pallas_stream.run(
+                f, o, params, n_iters=n, inplace=True
+            )
         )
     elif backend == "pallas2":
         from advanced_hpc_lbm_tpu.ops import pallas_multi

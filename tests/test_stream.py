@@ -231,3 +231,24 @@ def test_auto_keeps_pallask_when_it_fits(monkeypatch):
         params, np.zeros((4096, 4096), dtype=bool), backend="auto"
     )
     assert sim.backend == "pallask"
+
+
+def test_auto_prefers_stream_at_8192(monkeypatch):
+    """≥ 8192² the in-place streaming kernel is the measured winner
+    (16.46 vs pallask 15.97 GLUPS interleaved,
+    scripts/inplace8192_compare.py) — auto must pick it even though
+    pallask's 3x-state footprint still fits."""
+    from advanced_hpc_lbm_tpu.models import d2q9_bgk
+    from advanced_hpc_lbm_tpu.ops import resident
+
+    monkeypatch.setattr(d2q9_bgk, "_device_hbm_bytes", lambda: 16 * 2**30)
+    monkeypatch.setattr(resident, "supported", lambda ny, nx: False)
+    monkeypatch.setattr(pallas_stream, "supported", lambda ny, nx: True)
+    params = LBMParams(
+        nx=8192, ny=8192, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    sim = d2q9_bgk.Simulation(
+        params, np.zeros((8192, 8192), dtype=bool), backend="auto"
+    )
+    assert sim.backend == "stream"
