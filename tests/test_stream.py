@@ -161,8 +161,8 @@ def test_inplace_run_full_loop(deck):
 
 
 def test_multi_tile_pipeline(deck, monkeypatch):
-    """Force ty=16 so the 32-row deck runs THREE tiles (grid=(2,) per
-    pass over 2 passes of the pipeline machinery): cross-tile prefetch,
+    """Force ty=16 so the 32-row deck runs TWO tiles per pass (grid=(2,)
+    over 2 passes of the pipeline machinery): cross-tile prefetch,
     parity double-buffering, deferred egress drain, and the top/bottom
     pad writes coming from DIFFERENT tiles (0 and n-1) are all dead code
     on the default single-tile test grids — a drain-order or pad-offset
@@ -195,6 +195,48 @@ def test_multi_tile_pipeline(deck, monkeypatch):
         avs_ref,
         rtol=5e-4,
     )
+
+
+@pytest.mark.parametrize("inplace", [False, True])
+def test_three_tile_middle_tile(monkeypatch, inplace):
+    """A 48-row deck at ty=16 runs THREE tiles — the middle tile has
+    BOTH a predecessor (whose egress it starts/drains) and a successor
+    (whose ingress it prefetches), a combination absent from 1- and
+    2-tile grids.  Exercised for both schedules; in-place additionally
+    runs its full stash/deferred-pad machinery with a neutral middle
+    tile in between."""
+    params = LBMParams(
+        nx=128, ny=48, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    rng = np.random.RandomState(7)
+    mask = np.zeros((params.ny, params.nx), dtype=bool)
+    mask[0] = mask[-1] = True
+    mask[20:25, 30:90] = True
+    for _ in range(8):
+        mask[rng.randint(1, params.ny - 1), rng.randint(0, params.nx)] = True
+    monkeypatch.setenv("LBM_STREAM_TY", "16")
+    obst = jnp.asarray(mask)
+    n_fluid = jnp.sum(~obst).astype(jnp.float32)
+
+    f_ref = reference.initial_state(params)
+    avs_ref = []
+    for _ in range(pallas_stream.K):
+        f_ref, av = fused.fused_step(f_ref, obst, n_fluid, params)
+        avs_ref.append(float(av))
+
+    fp = pallas_stream.pad_state(reference.initial_state(params))
+    fp, av = pallas_stream.multi_step_padded(
+        fp, pallas_stream.prepare_obstacles(obst), n_fluid, params,
+        interpret=True, inplace=inplace,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pallas_stream.unpad_state(fp)),
+        np.asarray(f_ref),
+        rtol=1e-5,
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(np.asarray(av), avs_ref, rtol=5e-4)
 
 
 def test_auto_falls_through_to_stream(monkeypatch):
