@@ -161,31 +161,28 @@ class Simulation:
             hbm = _device_hbm_bytes()
             state = 9 * ny * nx * 4
             # the auto-pipelined paths double-buffer + carry one XLA
-            # transient (3x state); when that exceeds HBM but the
-            # streaming kernel's 2-buffers-no-transients footprint fits,
-            # fall through to it instead of failing loud later
+            # transient (3x state); the in-place streaming kernel peaks
+            # at 2x state (unpadded f0 beside the single aliased padded
+            # carry) + the f32 mask plane
             pallask_fits = hbm is None or 3 * state <= 0.9 * hbm
+            stream_fits = (
+                hbm is None or 2 * state + ny * nx * 4 <= 0.9 * hbm
+            )
             if resident.supported(ny, nx):
                 self.backend = backend = "resident"
             elif (
-                ny * nx >= 8192 * 8192
+                (ny * nx >= 8192 * 8192 or not pallask_fits)
+                and ny * nx > 1024 * 1024
                 and pallas_stream.supported(ny, nx)
-                and (
-                    hbm is None
-                    or 2 * state + ny * nx * 4 <= 0.9 * hbm
-                )
+                and stream_fits
             ):
                 # ≥ 8192² the in-place streaming kernel is the measured
                 # winner (16.46 vs pallask 15.97 GLUPS interleaved,
                 # scripts/inplace8192_compare.py) at one third the HBM;
-                # below that pallask's seam-light auto-pipeline wins
-                self.backend = backend = "stream"
-            elif (
-                ny * nx > 1024 * 1024
-                and not pallask_fits
-                and pallas_stream.supported(ny, nx)
-                and 2 * state + ny * nx * 4 <= 0.9 * (hbm or 0)
-            ):
+                # below that pallask's seam-light auto-pipeline wins —
+                # unless its 3x-state footprint no longer fits, where
+                # stream is also the fall-through instead of failing
+                # loud later
                 self.backend = backend = "stream"
             elif (
                 ny * nx > 1024 * 1024
@@ -305,15 +302,16 @@ class Simulation:
             return
         state = 9 * self.params.ny * self.params.nx * 4
         if self.backend == "stream":
-            # the streaming kernel's operands are HBM-resident with no XLA
-            # transients: just the two ping-pong state arrays + f32 mask
+            # in-place streaming: ONE aliased padded carry, but the jit's
+            # unpadded input/result sits beside it at the pad/unpad
+            # boundaries — peak 2x state + the f32 mask plane
             need = 2 * state + self.params.ny * self.params.nx * 4
         else:
             need = 3 * state  # in+out scan buffers + one transient copy
         if need > 0.9 * hbm:
-            # only suggest the streaming backend when its own 2-buffer
-            # footprint would actually fit — otherwise the user follows
-            # the hint straight into a second failure
+            # only suggest the streaming backend when its own peak would
+            # actually fit — otherwise the user follows the hint straight
+            # into a second failure
             stream_need = 2 * state + self.params.ny * self.params.nx * 4
             stream_helps = (
                 self.backend != "stream" and stream_need <= 0.9 * hbm
@@ -326,8 +324,8 @@ class Simulation:
                 "shard it over a device mesh with --devices N or "
                 "--mesh MYxMX (parallel/halo.py)"
                 + (
-                    ", or use --backend stream (HBM-streaming kernel, "
-                    "2 buffers instead of 3)"
+                    ", or use --backend stream (in-place single-buffer "
+                    "kernel, 2x state peak instead of 3x)"
                     if stream_helps
                     else ", or drive the single-buffer padded-native API "
                     "directly (pallas_stream.initial_state_padded + "

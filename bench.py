@@ -67,10 +67,19 @@ def resolve_backend(backend: str, ny: int, nx: int) -> str:
 
         if resident.supported(ny, nx):
             return "resident"
-        if ny * nx >= 8192 * 8192 and pallas_stream.supported(ny, nx):
+        from advanced_hpc_lbm_tpu.models.d2q9_bgk import _device_hbm_bytes
+
+        hbm = _device_hbm_bytes()
+        state = 9 * ny * nx * 4
+        if (
+            ny * nx >= 8192 * 8192
+            and pallas_stream.supported(ny, nx)
+            and (hbm is None or 2 * state + ny * nx * 4 <= 0.9 * hbm)
+        ):
             # the in-place streaming kernel is the measured ≥8192² winner
             # (16.46 vs pallask 15.97 GLUPS interleaved) — mirrors the
-            # model's auto selection
+            # model's auto selection incl. its 2x-state + mask HBM gate
+            # (in-place peak: unpadded f0 beside the aliased padded carry)
             return "stream"
         if (
             ny * nx > 1024 * 1024

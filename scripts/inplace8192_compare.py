@@ -26,20 +26,13 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from bench import build_deck  # canonical bench geometry — keep in lockstep
     from advanced_hpc_lbm_tpu.ops import pallas_k, pallas_stream, reference
-    from advanced_hpc_lbm_tpu.params import LBMParams
     from advanced_hpc_lbm_tpu.utils import cache
 
     cache.enable()
     n = 8192
-    params = LBMParams(
-        nx=n, ny=n, max_iters=args.iters, reynolds_dim=10,
-        density=0.1, accel=0.01, omega=1.85,
-    )
-    mask = np.zeros((n, n), dtype=bool)
-    mask[0] = mask[-1] = True
-    mask[:, 0] = mask[:, -1] = True
-    mask[: n // 2, n // 3] = True
+    params, mask = build_deck(n, n, args.iters)
     obst = jnp.asarray(mask)
 
     runners = {
