@@ -165,8 +165,15 @@ class Simulation:
             # at 2x state (unpadded f0 beside the single aliased padded
             # carry) + the f32 mask plane
             pallask_fits = hbm is None or 3 * state <= 0.9 * hbm
+            # the weakest stream requirement is the padded-native tier
+            # (ONE padded buffer + masks); _make_device_runner picks it
+            # automatically when the 2x-state jit form doesn't fit
+            from advanced_hpc_lbm_tpu.ops.pallas_stream import (
+                padded_tier_bytes,
+            )
+
             stream_fits = (
-                hbm is None or 2 * state + ny * nx * 4 <= 0.9 * hbm
+                hbm is None or padded_tier_bytes(ny, nx) <= 0.9 * hbm
             )
             if resident.supported(ny, nx):
                 self.backend = backend = "resident"
@@ -251,6 +258,32 @@ class Simulation:
             # unpadded result), and the only form that runs 12288²
             # (15.86 GLUPS, one 5.07 GiB buffer — every two-buffer
             # variant OOM'd, BENCH.md "The in-place kernel")
+            state = 9 * self.params.ny * self.params.nx * 4
+            hbm = _device_hbm_bytes()
+            if (
+                hbm is not None
+                and 2 * state + self.params.ny * self.params.nx * 4
+                > 0.9 * hbm
+            ):
+                # 16384²+: even the jit's unpadded input/result beside
+                # the padded carry is too big — the padded-native tier
+                # never materializes the unpadded state on device
+                # (padded equilibrium init, plane-wise host fetch;
+                # measured 14.77 / 13.22 GLUPS at 16384² / 18432²)
+                padded = pallas_stream.make_padded_runner(
+                    jnp.asarray(self.obstacles), self.params,
+                    n_iters=iters,
+                )
+
+                def wrapped(f, o):
+                    # the Simulation interface hands us an unpadded f0;
+                    # at these sizes it fits ALONE but not beside the
+                    # padded buffer — free it before the run
+                    f.delete()
+                    return padded()
+
+                wrapped.warmup = padded.warmup
+                return wrapped
             return jax.jit(
                 lambda f, o: pallas_stream.run(
                     f, o, self.params, n_iters=iters, inplace=True
@@ -301,18 +334,20 @@ class Simulation:
         if hbm is None:
             return
         state = 9 * self.params.ny * self.params.nx * 4
+        from advanced_hpc_lbm_tpu.ops.pallas_stream import padded_tier_bytes
+
         if self.backend == "stream":
-            # in-place streaming: ONE aliased padded carry, but the jit's
-            # unpadded input/result sits beside it at the pad/unpad
-            # boundaries — peak 2x state + the f32 mask plane
-            need = 2 * state + self.params.ny * self.params.nx * 4
+            # the weakest stream form is the padded-native single-buffer
+            # tier (the runner selects it automatically when the
+            # 2x-state jit form doesn't fit)
+            need = padded_tier_bytes(self.params.ny, self.params.nx)
         else:
             need = 3 * state  # in+out scan buffers + one transient copy
         if need > 0.9 * hbm:
             # only suggest the streaming backend when its own peak would
             # actually fit — otherwise the user follows the hint straight
             # into a second failure
-            stream_need = 2 * state + self.params.ny * self.params.nx * 4
+            stream_need = padded_tier_bytes(self.params.ny, self.params.nx)
             stream_helps = (
                 self.backend != "stream" and stream_need <= 0.9 * hbm
             )
@@ -325,13 +360,10 @@ class Simulation:
                 "--mesh MYxMX (parallel/halo.py)"
                 + (
                     ", or use --backend stream (in-place single-buffer "
-                    "kernel, 2x state peak instead of 3x)"
+                    "kernel — one padded state buffer, runs up to "
+                    "18432^2 on a 16 GB chip)"
                     if stream_helps
-                    else ", or drive the single-buffer padded-native API "
-                    "directly (pallas_stream.initial_state_padded + "
-                    "run_padded(inplace=True) + plane-wise fetch — runs "
-                    "16384^2/18432^2 on one chip, see "
-                    "scripts/stream_inplace_probe.py)"
+                    else ""  # beyond even one padded buffer: multi-chip
                 )
             )
 
@@ -442,6 +474,16 @@ class Simulation:
         if key in self._compiled:
             return
         runner = self._make_device_runner(iters, debug)
+        if not hasattr(runner, "lower"):
+            # composite runner (the stream padded-native tier): compile
+            # its phases via the warmup hook — a throwaway execution
+            # here would run the whole deck, minutes of device time at
+            # the sizes that select this path — then absorb the first
+            # device->host transfer cost with a tiny materialization
+            runner.warmup()
+            np.asarray(jnp.zeros((8, 128), jnp.float32) + 1.0)
+            self._compiled[key] = runner
+            return
         f_s = jax.ShapeDtypeStruct(
             (9, self.params.ny, self.params.nx), jnp.float32
         )
@@ -540,11 +582,14 @@ class Simulation:
             # through the device tunnel (CLAUDE.md), so also materialize a
             # 4-byte token from the run's last output to host — a real
             # round-trip pinned to completion, without the bulk bytes.
-            f_final.block_until_ready()
-            av_vels.block_until_ready()
-            if densities is not None:
-                densities.block_until_ready()
-            np.asarray(av_vels[-1:])
+            # (the padded-native tier already returns host numpy arrays —
+            # nothing to wait on there)
+            if hasattr(f_final, "block_until_ready"):
+                f_final.block_until_ready()
+                av_vels.block_until_ready()
+                if densities is not None:
+                    densities.block_until_ready()
+                np.asarray(av_vels[-1:])
         result = SimulationResult(
             params=self.params,
             f_final=f_final,

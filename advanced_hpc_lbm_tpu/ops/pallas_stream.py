@@ -505,3 +505,84 @@ def run(
             )
             av = jnp.concatenate([av, av_last[None]])
     return f, av
+
+
+def padded_tier_bytes(ny: int, nx: int) -> int:
+    """Device HBM the padded-native runner needs: the single wrap-padded
+    state buffer + the f32 mask plane (plane-wise fetch adds one
+    (ny, nx) f32 plane transiently)."""
+    return 9 * (ny + 2 * K) * nx * 4 + (ny + 2 * K) * nx * 4 + ny * nx * 4
+
+
+def make_padded_runner(
+    obstacles: jax.Array,
+    params: LBMParams,
+    *,
+    n_iters: int,
+    interpret: bool = False,
+):
+    """Whole-run runner for grids where even the UNPADDED state cannot
+    sit beside the padded carry (16384²+ on a 16 GiB chip): equilibrium
+    is built directly at the padded shape on device, the whole loop runs
+    as ONE donated in-place scan jit, and the result is fetched to HOST
+    plane-by-plane — the full (9, ny, nx) state never exists on device.
+    Measured: 16384² at 14.77 GLUPS (9.01 GiB buffer), 18432² at 13.22
+    (11.40 GiB) — BENCH.md "The in-place kernel".
+
+    Returns ``runner() -> (f_host, av_host)`` with ``f_host`` a host
+    numpy array; ``runner.warmup()`` AOT-compiles both phases without
+    executing a step."""
+    if n_iters % K:
+        raise ValueError(
+            f"the padded-native single-buffer tier runs K={K} steps per "
+            f"pass and needs n_iters % {K} == 0 (got {n_iters}); the "
+            "1-step tail kernel would need the unpadded state on device, "
+            "which this grid size cannot hold next to the padded buffer"
+        )
+    ny, nx = params.ny, params.nx
+    n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
+    obst_pad = prepare_obstacles(obstacles)
+
+    fp_s = jax.ShapeDtypeStruct((9, ny + 2 * K, nx), jnp.float32)
+    op_s = jax.ShapeDtypeStruct(obst_pad.shape, obst_pad.dtype)
+    nf_s = jax.ShapeDtypeStruct((), jnp.float32)
+
+    def scan_fn(fp, op, nf):
+        return run_padded(
+            fp, op, nf, params, n_iters=n_iters, interpret=interpret,
+            inplace=True,
+        )
+
+    # explicit AOT executables (jit's dispatch cache is not seeded by
+    # .lower().compile(), see make_split_runner's history in BENCH.md)
+    exes: dict[str, object] = {}
+
+    def _exe(name, fn, *shapes, donate=True):
+        if name not in exes:
+            kw = {"donate_argnums": 0} if donate else {}
+            exes[name] = jax.jit(fn, **kw).lower(*shapes).compile()
+        return exes[name]
+
+    def warmup():
+        _exe("init", initial_state_padded_fn, donate=False)
+        _exe("scan", scan_fn, fp_s, op_s, nf_s)
+
+    def initial_state_padded_fn():
+        return initial_state_padded(params)
+
+    def runner():
+        fp = _exe("init", initial_state_padded_fn, donate=False)()
+        # real sync (block_until_ready is unreliable through the relay,
+        # CLAUDE.md) + absorbs the process's first device->host cost
+        np.asarray(fp[0, 0, :_LANE])
+        fp, av = _exe("scan", scan_fn, fp_s, op_s, nf_s)(
+            fp, obst_pad, n_fluid
+        )
+        av_h = np.asarray(av)
+        f_host = np.empty((9, ny, nx), np.float32)
+        for c in range(9):  # plane-wise: never unpads on device
+            f_host[c] = np.asarray(fp[c, K : K + ny, :])
+        return f_host, av_h
+
+    runner.warmup = warmup
+    return runner

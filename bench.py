@@ -70,16 +70,17 @@ def resolve_backend(backend: str, ny: int, nx: int) -> str:
         from advanced_hpc_lbm_tpu.models.d2q9_bgk import _device_hbm_bytes
 
         hbm = _device_hbm_bytes()
-        state = 9 * ny * nx * 4
         if (
             ny * nx >= 8192 * 8192
             and pallas_stream.supported(ny, nx)
-            and (hbm is None or 2 * state + ny * nx * 4 <= 0.9 * hbm)
+            and (
+                hbm is None
+                or pallas_stream.padded_tier_bytes(ny, nx) <= 0.9 * hbm
+            )
         ):
             # the in-place streaming kernel is the measured ≥8192² winner
             # (16.46 vs pallask 15.97 GLUPS interleaved) — mirrors the
-            # model's auto selection incl. its 2x-state + mask HBM gate
-            # (in-place peak: unpadded f0 beside the aliased padded carry)
+            # model's auto selection incl. its padded-tier HBM gate
             return "stream"
         if (
             ny * nx > 1024 * 1024
@@ -122,13 +123,26 @@ def measure(size: str, iters: int, backend: str, repeats: int):
             lambda f, o, n=iters: pallas_k.run(f, o, params, n_iters=n, k=kk)
         )
     elif backend == "stream":
+        from advanced_hpc_lbm_tpu.models.d2q9_bgk import _device_hbm_bytes
         from advanced_hpc_lbm_tpu.ops import pallas_stream
 
-        runner = jax.jit(
-            lambda f, o, n=iters: pallas_stream.run(
-                f, o, params, n_iters=n, inplace=True
+        hbm = _device_hbm_bytes()
+        state = 9 * ny * nx * 4
+        if hbm is not None and 2 * state + ny * nx * 4 > 0.9 * hbm:
+            # 16384²+: padded-native tier (see the model's stream branch)
+            padded = pallas_stream.make_padded_runner(
+                obstacles, params, n_iters=iters
             )
-        )
+
+            def runner(f, o):
+                f.delete()
+                return padded()
+        else:
+            runner = jax.jit(
+                lambda f, o, n=iters: pallas_stream.run(
+                    f, o, params, n_iters=n, inplace=True
+                )
+            )
     elif backend == "pallas2":
         from advanced_hpc_lbm_tpu.ops import pallas_multi
 
@@ -158,7 +172,8 @@ def measure(size: str, iters: int, backend: str, repeats: int):
         f0 = reference.initial_state(params)
         f_final, av = runner(f0, obstacles)
         av_host = np.asarray(av)
-        f_final.block_until_ready()
+        if hasattr(f_final, "block_until_ready"):
+            f_final.block_until_ready()  # padded tier returns host numpy
         return av_host
 
     # warm with the EXACT program that will be timed (a different iteration

@@ -48,16 +48,18 @@ def _model_choice(ny, nx):
     [
         (1024, 1024),   # resident
         (4096, 4096),   # pallask
-        (8192, 8192),   # stream (in-place, measured winner)
-        (12288, 12288), # stream (only form that fits)
-        (16384, 16384), # NOT stream: 2x state + mask > 0.9 HBM
+        (8192, 8192),   # stream (in-place jit, measured winner)
+        (12288, 12288), # stream (in-place jit, only form that fits)
+        (16384, 16384), # stream (padded-native tier)
+        (18432, 18432), # stream (padded-native, the single-chip ceiling)
+        (20480, 20480), # NOT stream: one padded buffer alone > 0.9 HBM
     ],
 )
 def test_bench_mirrors_model_selection(tpu_like, ny, nx):
     assert bench.resolve_backend("best", ny, nx) == _model_choice(ny, nx)
 
 
-def test_16384_does_not_pick_stream(tpu_like):
-    """The jit in-place peak (unpadded f0 + padded carry ≈ 2x state)
-    exceeds HBM at 16384² — bench must not OOM mid-benchmark."""
-    assert bench.resolve_backend("best", 16384, 16384) != "stream"
+def test_20480_does_not_pick_stream(tpu_like):
+    """Beyond 18432² even ONE padded buffer + masks exceeds HBM — bench
+    must not OOM mid-benchmark; the model raises the multi-chip error."""
+    assert bench.resolve_backend("best", 20480, 20480) != "stream"

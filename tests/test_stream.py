@@ -239,6 +239,51 @@ def test_three_tile_middle_tile(monkeypatch, inplace):
     np.testing.assert_allclose(np.asarray(av), avs_ref, rtol=5e-4)
 
 
+def test_padded_runner_matches_oracle(deck):
+    """make_padded_runner — the 16384²+ tier that never materializes the
+    unpadded state on device (padded equilibrium init, one donated
+    in-place scan, plane-wise host fetch) — is numerically identical to
+    the oracle, and warmup() compiles without executing."""
+    params, mask = deck
+    obst = jnp.asarray(mask)
+    fa, ava = fused.run_simulation(
+        reference.initial_state(params), obst, params, n_iters=16
+    )
+    r = pallas_stream.make_padded_runner(
+        obst, params, n_iters=16, interpret=True
+    )
+    r.warmup()
+    fb, avb = r()
+    assert isinstance(fb, np.ndarray) and isinstance(avb, np.ndarray)
+    np.testing.assert_allclose(fb, np.asarray(fa), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(avb, np.asarray(ava), rtol=5e-4)
+    with pytest.raises(ValueError, match="n_iters % 8"):
+        pallas_stream.make_padded_runner(obst, params, n_iters=17)
+
+
+def test_model_selects_padded_tier(monkeypatch):
+    """When the 2x-state jit form exceeds HBM but one padded buffer
+    fits, the stream backend builds the composite padded-native runner
+    (warmup hook, no .lower) instead of a jit."""
+    from advanced_hpc_lbm_tpu.models import d2q9_bgk
+
+    # 16384²: 2x state + mask = 19.9 GiB > 0.9*16 GiB; padded tier
+    # = 9.01 + 1.0 + 1.0 GiB fits
+    monkeypatch.setattr(d2q9_bgk, "_device_hbm_bytes", lambda: 16 * 2**30)
+    monkeypatch.setattr(pallas_stream, "supported", lambda ny, nx: True)
+    n = 16384
+    params = LBMParams(
+        nx=n, ny=n, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    sim = d2q9_bgk.Simulation(
+        params, np.zeros((n, n), dtype=bool), backend="auto"
+    )
+    assert sim.backend == "stream"
+    runner = sim._make_device_runner(8, False)
+    assert not hasattr(runner, "lower") and hasattr(runner, "warmup")
+
+
 def test_auto_falls_through_to_stream(monkeypatch):
     """Grids whose 3x-state pallask footprint exceeds HBM but whose
     2-buffer streaming footprint fits auto-select the streaming backend
