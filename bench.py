@@ -25,6 +25,60 @@ import numpy as np
 
 BASELINE_GLUPS = 0.0365  # reference optimized serial, 1024^2 (BASELINE.md)
 
+# Transient-outage resilience for the FIRST device touch: the axon TPU
+# relay can be down for ~1-3 minutes (CLAUDE.md "wedged relay"), and jax
+# does NOT cache a loud backend-init failure (xla_bridge.backends() leaves
+# _backends empty on raise), so an in-process retry re-attempts the
+# factory.  Round 3's driver capture was lost to a single unretried
+# failure (VERDICT round-3 item 1) — this is the fix.
+INIT_RETRY_ATTEMPTS = 5
+INIT_RETRY_BACKOFF_S = 75.0
+
+
+def _is_backend_init_error(e: BaseException) -> bool:
+    msg = str(e)
+    return isinstance(e, RuntimeError) and (
+        "Unable to initialize backend" in msg or "UNAVAILABLE" in msg
+    )
+
+
+def wait_for_device(
+    attempts: int = INIT_RETRY_ATTEMPTS,
+    backoff_s: float = INIT_RETRY_BACKOFF_S,
+    *,
+    _devices_fn=None,
+    _sleep=time.sleep,
+):
+    """Probe the accelerator backend with bounded retries before any timed
+    work.  Returns the device list; raises the last init error once the
+    budget is exhausted, and immediately on any non-init error.  Logs each
+    retry to stderr — stdout keeps the one-JSON-line contract."""
+    if _devices_fn is None:
+        def _devices_fn():
+            import jax
+
+            return jax.devices()
+
+    last: BaseException | None = None
+    for attempt in range(1, attempts + 1):
+        try:
+            return _devices_fn()
+        except RuntimeError as e:
+            if not _is_backend_init_error(e):
+                raise
+            last = e
+            if attempt == attempts:
+                break
+            print(
+                f"# backend init failed (attempt {attempt}/{attempts}): "
+                f"{str(e)[:200]}; retrying in {backoff_s:.0f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+            _sleep(backoff_s)
+    assert last is not None
+    raise last
+
 # --matrix regression gate: recorded round-2 GLUPS per size (BENCH.md
 # headline table, min-of-repeats, long amortized calls) with the iteration
 # counts those numbers were measured at.  The tolerance band absorbs
@@ -37,6 +91,16 @@ MATRIX = [
     ("2048x2048", 4000, 20.2),
     ("4096x4096", 1200, 18.15),
     ("8192x8192", 400, 16.46),  # stream in-place (round 3); pallask read 16.06
+]
+# Opt-in huge-grid tier (--matrix-huge): guards the round-3 flagship
+# capability — the in-place/padded-native stream kernel at sizes where
+# every other tier OOMs (VERDICT round-3 item 3).  Few iters (the runs
+# are seconds; the value is "still compiles + still lands on the stream
+# tier + within band", not a fresh headline).  Iter counts are K=8
+# multiples — the padded-native tier (16384^2+) has no 1-step tail.
+MATRIX_HUGE = [
+    ("12288x12288", 240, 15.86),  # stream in-place jit (BENCH.md round 3)
+    ("16384x16384", 96, 14.77),   # stream padded-native tier
 ]
 MATRIX_TOLERANCE = 0.15  # fail below recorded * (1 - tolerance)
 
@@ -90,8 +154,18 @@ def resolve_backend(backend: str, ny: int, nx: int) -> str:
             return "pallask"
         if pallas_step.supported(ny, nx):
             return "pallas"
-    except Exception:
-        pass
+    except (ImportError, ValueError) as e:
+        # fall back, but never silently: a broken Pallas import would
+        # otherwise make the gate measure the ~100x-slower fused path with
+        # no diagnostic (VERDICT round-3 weak #3).  Anything else
+        # propagates — the supported()/best_k probes catch their own
+        # device errors, so an unexpected exception here is a real bug.
+        print(
+            f"# resolve_backend: auto-selection failed "
+            f"({type(e).__name__}: {e}); falling back to 'fused'",
+            file=sys.stderr,
+            flush=True,
+        )
     return "fused"
 
 
@@ -113,14 +187,16 @@ def measure(size: str, iters: int, backend: str, repeats: int):
         from advanced_hpc_lbm_tpu.ops import resident
 
         runner = jax.jit(
-            lambda f, o, n=iters: resident.resident_run(f, o, params, n_iters=n)
+            lambda f, o, n=iters: resident.resident_run(f, o, params, n_iters=n),
+            donate_argnums=0,
         )
     elif backend == "pallask":
         from advanced_hpc_lbm_tpu.ops import pallas_k
 
         kk = pallas_k.best_k(ny, nx)
         runner = jax.jit(
-            lambda f, o, n=iters: pallas_k.run(f, o, params, n_iters=n, k=kk)
+            lambda f, o, n=iters: pallas_k.run(f, o, params, n_iters=n, k=kk),
+            donate_argnums=0,
         )
     elif backend == "stream":
         from advanced_hpc_lbm_tpu.models.d2q9_bgk import _device_hbm_bytes
@@ -138,16 +214,22 @@ def measure(size: str, iters: int, backend: str, repeats: int):
                 f.delete()
                 return padded()
         else:
+            # donate f0 like the model's runner does (ADVICE round 3):
+            # without it the undonated input stays alive beside the padded
+            # carry for the whole scan — ~2x state where the shipped
+            # backend holds ~1x, narrowing headroom at 12288^2
             runner = jax.jit(
                 lambda f, o, n=iters: pallas_stream.run(
                     f, o, params, n_iters=n, inplace=True
-                )
+                ),
+                donate_argnums=0,
             )
     elif backend == "pallas2":
         from advanced_hpc_lbm_tpu.ops import pallas_multi
 
         runner = jax.jit(
-            lambda f, o, n=iters: pallas_multi.run(f, o, params, n_iters=n)
+            lambda f, o, n=iters: pallas_multi.run(f, o, params, n_iters=n),
+            donate_argnums=0,
         )
     else:
         if backend == "pallas":
@@ -160,7 +242,8 @@ def measure(size: str, iters: int, backend: str, repeats: int):
         runner = jax.jit(
             lambda f, o, n=iters: fused.run_simulation(
                 f, o, params, n_iters=n, step_fn=step_fn
-            )
+            ),
+            donate_argnums=0,
         )
 
     def run():
@@ -196,13 +279,17 @@ def measure(size: str, iters: int, backend: str, repeats: int):
     return cells * iters / best / 1e9, cells * iters / median / 1e9, backend, times
 
 
-def run_matrix(repeats: int) -> int:
+def run_matrix(repeats: int, include_huge: bool = False) -> int:
     """The multi-size regression gate (VERDICT round-2 item 6): every size
-    of the recorded curve, one process, pass/fail vs the tolerance band."""
+    of the recorded curve, one process, pass/fail vs the tolerance band.
+    ``include_huge`` appends the 12288^2/16384^2 stream-tier entries
+    (VERDICT round-3 item 3)."""
     import jax
 
+    on_tpu = jax.devices()[0].platform == "tpu"
+    entries = MATRIX + (MATRIX_HUGE if include_huge else [])
     failures = 0
-    for size, iters, recorded in MATRIX:
+    for size, iters, recorded in entries:
         try:
             glups, med, backend, _ = measure(size, iters, "best", repeats)
         except Exception as e:  # a size that stops running IS a regression
@@ -223,23 +310,24 @@ def run_matrix(repeats: int) -> int:
             continue
         floor = recorded * (1.0 - MATRIX_TOLERANCE)
         ok = glups >= floor
-        failures += not ok
-        print(
-            json.dumps(
-                {
-                    "metric": f"GLUPS_{size}",
-                    "value": round(glups, 4),
-                    "unit": "GLUPS",
-                    "recorded": recorded,
-                    "floor": round(floor, 2),
-                    "backend": backend,
-                    "pass": bool(ok),
-                }
-            ),
-            flush=True,
-        )
+        # on a TPU "best" must never land on the XLA-fused fallback — that
+        # means a kernel tier silently stopped resolving (~100x slower)
+        resolved_wrong = on_tpu and backend == "fused"
+        failures += not ok or resolved_wrong
+        line = {
+            "metric": f"GLUPS_{size}",
+            "value": round(glups, 4),
+            "unit": "GLUPS",
+            "recorded": recorded,
+            "floor": round(floor, 2),
+            "backend": backend,
+            "pass": bool(ok and not resolved_wrong),
+        }
+        if resolved_wrong:
+            line["error"] = "'best' resolved to 'fused' on a TPU device"
+        print(json.dumps(line), flush=True)
     print(
-        f"# matrix: {len(MATRIX) - failures}/{len(MATRIX)} sizes within "
+        f"# matrix: {len(entries) - failures}/{len(entries)} sizes within "
         f"{MATRIX_TOLERANCE:.0%} of recorded "
         f"(device={jax.devices()[0].device_kind})",
         file=sys.stderr,
@@ -269,6 +357,11 @@ def main(argv=None) -> int:
              "curve and pass/fail each size against BENCH.md values",
     )
     ap.add_argument(
+        "--matrix-huge", action="store_true",
+        help="with --matrix: also run the 12288^2/16384^2 in-place stream "
+             "tiers (minutes of extra compile on a cold cache)",
+    )
+    ap.add_argument(
         "--warmup",
         type=int,
         default=None,
@@ -279,9 +372,12 @@ def main(argv=None) -> int:
     from advanced_hpc_lbm_tpu.utils import cache
 
     cache.enable()
+    # first device touch, behind the bounded-retry probe — a transient
+    # relay outage becomes a ~minutes delay instead of a lost artifact
+    wait_for_device()
 
     if args.matrix:
-        return run_matrix(min(args.repeats, 3))
+        return run_matrix(min(args.repeats, 3), include_huge=args.matrix_huge)
 
     import jax
 

@@ -63,3 +63,108 @@ def test_20480_does_not_pick_stream(tpu_like):
     """Beyond 18432² even ONE padded buffer + masks exceeds HBM — bench
     must not OOM mid-benchmark; the model raises the multi-chip error."""
     assert bench.resolve_backend("best", 20480, 20480) != "stream"
+
+
+# ---------------------------------------------------------------------------
+# Backend-init retry (VERDICT round-3 item 1): round 3's driver capture was
+# lost to one unretried transient 'Unable to initialize backend' — the probe
+# must absorb a bounded number of those, log each to stderr, and still fail
+# loudly on a persistent outage or a non-init error.
+
+_INIT_ERR = RuntimeError(
+    "Unable to initialize backend 'axon': UNAVAILABLE: TPU backend "
+    "setup/compile error (Unavailable)."
+)
+
+
+def _flaky(fail_times, result="devices"):
+    calls = {"n": 0}
+
+    def fn():
+        calls["n"] += 1
+        if calls["n"] <= fail_times:
+            raise _INIT_ERR
+        return result
+
+    fn.calls = calls
+    return fn
+
+
+def test_wait_for_device_retries_transient_outage(capsys):
+    sleeps = []
+    fn = _flaky(fail_times=2)
+    out = bench.wait_for_device(
+        attempts=5, backoff_s=0.5, _devices_fn=fn, _sleep=sleeps.append
+    )
+    assert out == "devices"
+    assert fn.calls["n"] == 3
+    assert sleeps == [0.5, 0.5]
+    err = capsys.readouterr()
+    # retries go to stderr only — stdout keeps the one-JSON-line contract
+    assert err.out == ""
+    assert err.err.count("backend init failed") == 2
+
+
+def test_wait_for_device_exhausts_and_raises():
+    fn = _flaky(fail_times=10)
+    with pytest.raises(RuntimeError, match="Unable to initialize backend"):
+        bench.wait_for_device(attempts=3, backoff_s=0, _devices_fn=fn,
+                              _sleep=lambda s: None)
+    assert fn.calls["n"] == 3  # bounded: no infinite retry loop
+
+
+def test_wait_for_device_propagates_non_init_errors_immediately():
+    def fn():
+        raise RuntimeError("something else entirely")
+
+    with pytest.raises(RuntimeError, match="something else"):
+        bench.wait_for_device(attempts=5, backoff_s=0, _devices_fn=fn,
+                              _sleep=lambda s: None)
+
+
+# ---------------------------------------------------------------------------
+# De-silenced auto-selection fallback (VERDICT round-3 weak #3): a broken
+# kernel import must be visible on stderr, and the --matrix gate must fail
+# when "best" lands on the fused fallback on a TPU device.
+
+
+def test_resolve_backend_fallback_is_loud(monkeypatch, capsys):
+    monkeypatch.setattr(
+        resident, "supported",
+        lambda ny, nx: (_ for _ in ()).throw(ValueError("broken tier")),
+    )
+    assert bench.resolve_backend("best", 1024, 1024) == "fused"
+    err = capsys.readouterr().err
+    assert "falling back to 'fused'" in err
+    assert "broken tier" in err
+
+
+def test_matrix_fails_when_best_resolves_to_fused_on_tpu(monkeypatch, capsys):
+    import jax
+
+    class _FakeDev:
+        platform = "tpu"
+        device_kind = "fake-tpu"
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [_FakeDev()])
+    monkeypatch.setattr(
+        bench, "measure",
+        lambda size, iters, backend, repeats: (99.0, 99.0, "fused", [1.0]),
+    )
+    monkeypatch.setattr(bench, "MATRIX", [("1024x1024", 8, 28.25)])
+    rc = bench.run_matrix(repeats=1)
+    assert rc == 1
+    import json
+
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert line["pass"] is False
+    assert "fused" in line["error"]
+
+
+def test_matrix_huge_entries_are_stream_tier_sizes(tpu_like):
+    """The huge gate guards the stream tiers specifically — if auto-select
+    ever stops routing those sizes to 'stream', the guard is meaningless."""
+    for size, iters, _ in bench.MATRIX_HUGE:
+        nx, ny = (int(v) for v in size.split("x"))
+        assert bench.resolve_backend("best", ny, nx) == "stream"
+        assert iters % 8 == 0  # padded-native tier runs K=8 steps per pass
