@@ -126,20 +126,22 @@ def main(argv: list[str] | None = None) -> int:
         # the Compute timer measures compute the way the reference's does
         # (d2q9-bgk.c:177-206) instead of swallowing multi-second remote
         # Mosaic/XLA compiles.  The sharded path warms its own (cached)
-        # runner the same way; only checkpointed runs stay unwarmed
-        # (segments build their own programs).
-        if not (args.checkpoint_every or args.resume):
-            try:
-                sim.warmup(
-                    n_iters=args.iters, debug=args.debug,
-                    devices=args.devices, shard_kernel=args.shard_kernel,
-                    mesh=_parse_mesh(args), ca_steps=args.ca_steps,
-                )
-            except ValueError as e:
-                # bad decomposition (indivisible mesh, thin slabs, ...) —
-                # clean die()-style exit, same as a bad deck
-                print(f"Error: {e}", file=sys.stderr)
-                return 1
+        # runner the same way; checkpointed runs warm their first
+        # segment's executable (the segment loop reuses it by length).
+        try:
+            sim.warmup(
+                n_iters=args.iters, debug=args.debug,
+                devices=args.devices, shard_kernel=args.shard_kernel,
+                mesh=_parse_mesh(args), ca_steps=args.ca_steps,
+                checkpoint_every=args.checkpoint_every,
+                checkpoint_dir=args.checkpoint_dir,
+                resume=args.resume,
+            )
+        except ValueError as e:
+            # bad decomposition (indivisible mesh, thin slabs, ...) —
+            # clean die()-style exit, same as a bad deck
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
 
     profiler_cm = None
     if args.profile:
@@ -172,8 +174,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.debug:
         if result.densities is None:
-            # backends that keep the whole loop on-device (sharded) don't
-            # stream densities; print the av history alone
+            # defensive: every backend (incl. sharded, which psums the
+            # per-step density through the scan) streams densities in
+            # debug mode; print the av history alone if one ever doesn't
             for tt, av in enumerate(result.av_vels):
                 print(f"==timestep: {tt}==")
                 print(f"av velocity: {av:.12E}")

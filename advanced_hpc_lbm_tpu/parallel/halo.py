@@ -123,7 +123,8 @@ def _extend_rows(x, axis_name: str, k: int, row_axis: int = 0):
 
 
 def _local_fused_ca_steps(
-    f, obst_ext, row_is_accel_ext, n_fluid, params, axis: str, k: int
+    f, obst_ext, row_is_accel_ext, n_fluid, params, axis: str, k: int,
+    collect_density: bool = False,
 ):
     """K steps per halo exchange — communication-avoiding ghost zones.
 
@@ -143,6 +144,7 @@ def _local_fused_ca_steps(
     from advanced_hpc_lbm_tpu.ops import kernel_common
 
     avs = []
+    densities = []
     for s in range(k):
         depth = k - s
         rows = ly + 2 * depth
@@ -175,11 +177,20 @@ def _local_fused_ca_steps(
         own_obst = jax.lax.slice_in_dim(obst_ext, k, k + ly, axis=0)
         tot = jnp.sum(jnp.where(own_obst, 0.0, jnp.sqrt(own_usq)))
         avs.append(jax.lax.psum(tot, axis) / n_fluid)
+        if collect_density:
+            # per-step total density over the shard's OWN rows of the
+            # post-step window (the #ifdef DEBUG stream,
+            # d2q9-bgk.c:196-200): one extra psum'd scalar
+            own_f = jax.lax.slice_in_dim(w, depth - 1, depth - 1 + ly, axis=1)
+            densities.append(jax.lax.psum(jnp.sum(own_f), axis))
+    if collect_density:
+        return w, jnp.stack(avs), jnp.stack(densities)
     return w, jnp.stack(avs)
 
 
 def _local_fused_ca_steps_2d(
-    f, obst_ext, row_is_accel_ext, n_fluid, params, ay, ax, k: int
+    f, obst_ext, row_is_accel_ext, n_fluid, params, ay, ax, k: int,
+    collect_density: bool = False,
 ):
     """K steps per exchange on a 2-D (rows x columns) shard.
 
@@ -203,6 +214,7 @@ def _local_fused_ca_steps_2d(
     from advanced_hpc_lbm_tpu.ops import kernel_common
 
     avs = []
+    densities = []
     for s in range(k):
         depth = k - s
         rows = ly + 2 * depth
@@ -242,6 +254,15 @@ def _local_fused_ca_steps_2d(
         own_obst = jax.lax.slice(obst_ext, (k, k), (k + ly, k + lx))
         tot = jnp.sum(jnp.where(own_obst, 0.0, jnp.sqrt(own_usq)))
         avs.append(jax.lax.psum(jax.lax.psum(tot, ay), ax) / n_fluid)
+        if collect_density:
+            own_f = jax.lax.slice(
+                w, (0, depth - 1, depth - 1), (9, depth - 1 + ly, depth - 1 + lx)
+            )
+            densities.append(
+                jax.lax.psum(jax.lax.psum(jnp.sum(own_f), ay), ax)
+            )
+    if collect_density:
+        return w, jnp.stack(avs), jnp.stack(densities)
     return w, jnp.stack(avs)
 
 
@@ -304,6 +325,7 @@ def make_sharded_runner(
     kernel: str = "jnp",
     interpret: bool = False,
     ca_steps: int = 1,
+    collect_density: bool = False,
 ):
     """Build the jitted sharded main loop for a given mesh + deck shape.
 
@@ -313,14 +335,23 @@ def make_sharded_runner(
     avoiding ghost zones — K× fewer ring latencies for 2K/ly extra seam
     compute (_local_fused_ca_steps; with kernel="pallas" the whole ±K
     window runs the Mosaic CA kernel, gated on pallas_local.ca_supported).
-    Returns (runner, shardings) where runner(f0, obstacles, row_mask,
-    n_fluid) -> (f_final, av_vels)."""
+    ``collect_density`` also streams the per-step total density — a
+    psum'd scalar per step — through the scan (the reference's #ifdef
+    DEBUG output, d2q9-bgk.c:196-200); the one combination that can't
+    stream it natively is the Mosaic CA window kernel (intermediate
+    states live only inside the kernel), which debug-falls-back to the
+    jnp CA path, mirroring the single-device debug fallback to the fused
+    scan.  Returns (runner, shardings) where runner(f0, obstacles,
+    row_mask, n_fluid) -> (f_final, av_vels[, densities])."""
     f_spec = P(None, axis, None)
     grid_spec = P(axis, None)
     row_spec = P(axis)
 
     def whole_run(f, obstacles, row_mask, n_fluid):
-        if kernel == "pallas" and ca_steps > 1:
+        def dens_of(f_local):
+            return jax.lax.psum(jnp.sum(f_local), axis)
+
+        if kernel == "pallas" and ca_steps > 1 and not collect_density:
             from advanced_hpc_lbm_tpu.ops import pallas_local
 
             k = ca_steps
@@ -387,13 +418,27 @@ def make_sharded_runner(
             def body(carry_f, _):
                 f1, av1 = one(carry_f)
                 f2, av2 = one(f1)
+                if collect_density:
+                    # density from the full post-step local slabs (cheap
+                    # psum'd scalars, computed OUTSIDE the opaque kernel)
+                    return f2, (
+                        jnp.stack([av1, av2]),
+                        jnp.stack([dens_of(f1), dens_of(f2)]),
+                    )
                 return f2, jnp.stack([av1, av2])
 
-            f, av_pairs = jax.lax.scan(body, f, None, length=n_iters // 2)
-            avs = av_pairs.reshape(-1)
+            f, outs = jax.lax.scan(body, f, None, length=n_iters // 2)
+            if collect_density:
+                avs, denss = outs[0].reshape(-1), outs[1].reshape(-1)
+            else:
+                avs = outs.reshape(-1)
             if n_iters % 2:
                 f, av_last = one(f)
                 avs = jnp.concatenate([avs, av_last[None]])
+                if collect_density:
+                    denss = jnp.concatenate([denss, dens_of(f)[None]])
+            if collect_density:
+                return f, avs, denss
             return f, avs
 
         if ca_steps > 1:
@@ -403,31 +448,48 @@ def make_sharded_runner(
             row_ext = _extend_rows(row_mask, axis, k)
 
             def body_ca(carry_f, _):
-                return _local_fused_ca_steps(
-                    carry_f, obst_ext, row_ext, n_fluid, params, axis, k
+                out = _local_fused_ca_steps(
+                    carry_f, obst_ext, row_ext, n_fluid, params, axis, k,
+                    collect_density=collect_density,
                 )
+                if collect_density:
+                    return out[0], (out[1], out[2])
+                return out
 
-            f, av_chunks = jax.lax.scan(body_ca, f, None, length=n_iters // k)
-            avs = av_chunks.reshape(-1)
+            f, outs = jax.lax.scan(body_ca, f, None, length=n_iters // k)
+            if collect_density:
+                avs, denss = outs[0].reshape(-1), outs[1].reshape(-1)
+            else:
+                avs = outs.reshape(-1)
             for _ in range(n_iters % k):
                 f, av_last = _local_fused_step(
                     f, obstacles, row_mask, n_fluid, params, axis
                 )
                 avs = jnp.concatenate([avs, av_last[None]])
+                if collect_density:
+                    denss = jnp.concatenate([denss, dens_of(f)[None]])
+            if collect_density:
+                return f, avs, denss
             return f, avs
 
         def body(carry_f, _):
-            return _local_fused_step(
+            f1, av = _local_fused_step(
                 carry_f, obstacles, row_mask, n_fluid, params, axis
             )
+            if collect_density:
+                return f1, (av, dens_of(f1))
+            return f1, av
 
-        return jax.lax.scan(body, f, None, length=n_iters)
+        f, outs = jax.lax.scan(body, f, None, length=n_iters)
+        if collect_density:
+            return f, outs[0], outs[1]
+        return f, outs
 
     mapped = jax.shard_map(
         whole_run,
         mesh=mesh,
         in_specs=(f_spec, grid_spec, row_spec, P()),
-        out_specs=(f_spec, P()),
+        out_specs=(f_spec, P(), P()) if collect_density else (f_spec, P()),
         # pallas_call outputs carry no varying-across-mesh annotation, so
         # the vma consistency check can't see through them
         check_vma=(kernel != "pallas"),
@@ -571,6 +633,7 @@ def make_sharded_runner_2d(
     kernel: str = "jnp",
     interpret: bool = False,
     ca_steps: int = 1,
+    collect_density: bool = False,
 ):
     """Build the jitted (my, mx)-torus main loop (rows AND columns sharded).
 
@@ -580,6 +643,8 @@ def make_sharded_runner_2d(
     (communication-avoiding ghost zones on the torus,
     _local_fused_ca_steps_2d; jnp kernel only — the Mosaic CA window
     kernel is 1-D-ring-specific, so kernel="pallas" + ca_steps > 1 raises).
+    ``collect_density`` streams the per-step total density (double-psum'd
+    scalar) like make_sharded_runner.
     Returns (runner, shardings) like make_sharded_runner."""
     if ca_steps > 1 and kernel == "pallas":
         raise ValueError(
@@ -593,6 +658,9 @@ def make_sharded_runner_2d(
     row_spec = P("y")
 
     def whole_run(f, obst, rmask, nf):
+        def dens_of(f_local):
+            return jax.lax.psum(jax.lax.psum(jnp.sum(f_local), "y"), "x")
+
         if kernel == "pallas":
             obst8 = obst.astype(jnp.int8)
 
@@ -605,13 +673,25 @@ def make_sharded_runner_2d(
             def body(carry_f, _):
                 f1, av1 = one(carry_f)
                 f2, av2 = one(f1)
+                if collect_density:
+                    return f2, (
+                        jnp.stack([av1, av2]),
+                        jnp.stack([dens_of(f1), dens_of(f2)]),
+                    )
                 return f2, jnp.stack([av1, av2])
 
-            f, av_pairs = jax.lax.scan(body, f, None, length=n_iters // 2)
-            avs = av_pairs.reshape(-1)
+            f, outs = jax.lax.scan(body, f, None, length=n_iters // 2)
+            if collect_density:
+                avs, denss = outs[0].reshape(-1), outs[1].reshape(-1)
+            else:
+                avs = outs.reshape(-1)
             if n_iters % 2:
                 f, av_last = one(f)
                 avs = jnp.concatenate([avs, av_last[None]])
+                if collect_density:
+                    denss = jnp.concatenate([denss, dens_of(f)[None]])
+            if collect_density:
+                return f, avs, denss
             return f, avs
 
         if ca_steps > 1:
@@ -622,33 +702,48 @@ def make_sharded_runner_2d(
             row_ext = _extend_rows(rmask, "y", k, row_axis=0)
 
             def body_ca(carry_f, _):
-                return _local_fused_ca_steps_2d(
-                    carry_f, obst_ext, row_ext, nf, params, "y", "x", k
+                out = _local_fused_ca_steps_2d(
+                    carry_f, obst_ext, row_ext, nf, params, "y", "x", k,
+                    collect_density=collect_density,
                 )
+                if collect_density:
+                    return out[0], (out[1], out[2])
+                return out
 
-            f, av_chunks = jax.lax.scan(
-                body_ca, f, None, length=n_iters // k
-            )
-            avs = av_chunks.reshape(-1)
+            f, outs = jax.lax.scan(body_ca, f, None, length=n_iters // k)
+            if collect_density:
+                avs, denss = outs[0].reshape(-1), outs[1].reshape(-1)
+            else:
+                avs = outs.reshape(-1)
             for _ in range(n_iters % k):
                 f, av_last = _local_fused_step_2d(
                     f, obst, rmask, nf, params, "y", "x"
                 )
                 avs = jnp.concatenate([avs, av_last[None]])
+                if collect_density:
+                    denss = jnp.concatenate([denss, dens_of(f)[None]])
+            if collect_density:
+                return f, avs, denss
             return f, avs
 
         def body(carry_f, _):
-            return _local_fused_step_2d(
+            f1, av = _local_fused_step_2d(
                 carry_f, obst, rmask, nf, params, "y", "x"
             )
+            if collect_density:
+                return f1, (av, dens_of(f1))
+            return f1, av
 
-        return jax.lax.scan(body, f, None, length=n_iters)
+        f, outs = jax.lax.scan(body, f, None, length=n_iters)
+        if collect_density:
+            return f, outs[0], outs[1]
+        return f, outs
 
     mapped = jax.shard_map(
         whole_run,
         mesh=mesh,
         in_specs=(f_spec, grid_spec, row_spec, P()),
-        out_specs=(f_spec, P()),
+        out_specs=(f_spec, P(), P()) if collect_density else (f_spec, P()),
         check_vma=(kernel != "pallas"),
     )
     runner = jax.jit(mapped, donate_argnums=0)
@@ -669,6 +764,7 @@ def prepare_sharded_2d(
     kernel: str = "jnp",
     interpret: bool = False,
     ca_steps: int = 1,
+    collect_density: bool = False,
 ):
     """Validate the (my, mx) torus decomposition and build its runner.
     Returns (runner, shardings).  Split from run_sharded_2d so callers
@@ -688,7 +784,7 @@ def prepare_sharded_2d(
     mesh = make_yx_mesh(my, mx)
     return make_sharded_runner_2d(
         mesh, params, n_iters, kernel=kernel, interpret=interpret,
-        ca_steps=ca_steps,
+        ca_steps=ca_steps, collect_density=collect_density,
     )
 
 
@@ -713,7 +809,8 @@ def run_sharded_2d(
     kernel: str = "jnp",
     interpret: bool = False,
     ca_steps: int = 1,
-) -> tuple[jax.Array, jax.Array]:
+    collect_density: bool = False,
+) -> tuple[jax.Array, ...]:
     """Full loop on a (my, mx) torus: rows AND columns sharded.
 
     See make_sharded_runner_2d for the kernel / ca_steps semantics.
@@ -722,7 +819,7 @@ def run_sharded_2d(
     iters = params.max_iters if n_iters is None else n_iters
     runner, sh = prepare_sharded_2d(
         params, iters, mesh_shape, kernel=kernel, interpret=interpret,
-        ca_steps=ca_steps,
+        ca_steps=ca_steps, collect_density=collect_density,
     )
     return execute_sharded(runner, sh, f0, obstacles, params)
 
@@ -735,6 +832,7 @@ def prepare_sharded(
     kernel: str = "jnp",
     interpret: bool = False,
     ca_steps: int = 1,
+    collect_density: bool = False,
 ):
     """Validate the 1-D y decomposition and build its runner.
     Returns (runner, shardings).  Split from run_sharded so callers
@@ -750,7 +848,7 @@ def prepare_sharded(
         )
     return make_sharded_runner(
         mesh, params, n_iters, kernel=kernel, interpret=interpret,
-        ca_steps=ca_steps,
+        ca_steps=ca_steps, collect_density=collect_density,
     )
 
 
@@ -764,7 +862,8 @@ def run_sharded(
     kernel: str = "jnp",
     interpret: bool = False,
     ca_steps: int = 1,
-) -> tuple[jax.Array, jax.Array]:
+    collect_density: bool = False,
+) -> tuple[jax.Array, ...]:
     """Execute the full loop sharded along y. Drop-in replacement for
     ops.fused.run_simulation (same outputs, same numerics up to fp
     reduction order).  kernel="pallas" runs the Mosaic local kernel per
@@ -774,5 +873,6 @@ def run_sharded(
     runner, sh = prepare_sharded(
         params, iters, n_devices=n_devices, kernel=kernel,
         interpret=interpret, ca_steps=ca_steps,
+        collect_density=collect_density,
     )
     return execute_sharded(runner, sh, f0, obstacles, params)

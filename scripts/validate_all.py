@@ -20,20 +20,25 @@ import time
 GOLDENS_DIR = os.path.join(os.path.dirname(__file__), "..", "goldens")
 
 
-def _final_state_golden(ref_dir: str, deck: str, tmpdir: str) -> str | None:
-    """The final_state golden for a deck: the reference mount's copy, or
-    the repo-regenerated one (goldens/*.xz, see goldens/README.md)
-    decompressed into ``tmpdir``.  None if neither exists."""
+def _final_state_golden(
+    ref_dir: str, deck: str, tmpdir: str
+) -> tuple[str | None, str]:
+    """The final_state golden for a deck and its provenance label:
+    ("<path>", "upstream") for the reference mount's own artifact,
+    ("<path>", "regen") for the repo-regenerated one (goldens/*.xz —
+    rebuilt from the reference's solver on THIS host, goldens/README.md;
+    a pass against it is not a pass against the upstream golden), or
+    (None, "av-only") when neither exists."""
     mounted = os.path.join(ref_dir, "check", f"{deck}.final_state.dat")
     if os.path.exists(mounted):
-        return mounted
+        return mounted, "upstream"
     packed = os.path.join(GOLDENS_DIR, f"{deck}.final_state.dat.xz")
     if os.path.exists(packed):
         out = os.path.join(tmpdir, f"{deck}.final_state.golden.dat")
         with lzma.open(packed, "rb") as src, open(out, "wb") as dst:
             shutil.copyfileobj(src, dst)
-        return out
-    return None
+        return out, "regen"
+    return None, "av-only"
 
 DECKS = ["128x128", "128x256", "256x256", "1024x1024"]
 # expected Reynolds numbers from the reference README (serial base build)
@@ -58,7 +63,7 @@ def main(argv=None) -> int:
     cache.enable()
     failures = 0
     print(f"{'deck':>10} {'backend':>9} {'compute_s':>9} {'Re':>14} "
-          f"{'av max%':>9} {'fs max%':>9} {'verdict':>8}")
+          f"{'av max%':>9} {'fs max%':>9} {'golden':>8} {'verdict':>8}")
     for deck in args.decks:
         params_path = os.path.join(args.ref, f"input_{deck}.params")
         obst_path = os.path.join(args.ref, f"obstacles_{deck}.dat")
@@ -70,7 +75,7 @@ def main(argv=None) -> int:
         elapsed = time.time() - tic
         with tempfile.TemporaryDirectory() as td:
             fs, av = res.write(td)
-            fs_golden = _final_state_golden(args.ref, deck, td)
+            fs_golden, golden_src = _final_state_golden(args.ref, deck, td)
             if fs_golden is not None:
                 r = lbm_check.check_files(av_golden, fs_golden, av, fs)
                 av_pct = abs(r.av_vels.max_diff_pcnt)
@@ -85,7 +90,8 @@ def main(argv=None) -> int:
         failures += not ok
         print(
             f"{deck:>10} {sim.backend:>9} {elapsed:9.2f} {res.reynolds:14.6E} "
-            f"{av_pct:9.4f} {fs_pct:9.4f} {'PASS' if ok else 'FAIL':>8}"
+            f"{av_pct:9.4f} {fs_pct:9.4f} {golden_src:>8} "
+            f"{'PASS' if ok else 'FAIL':>8}"
         )
     return 1 if failures else 0
 

@@ -115,3 +115,129 @@ class TestCheckpointedSharded:
             ck.f_final, straight.f_final, rtol=1e-6, atol=1e-8
         )
         np.testing.assert_allclose(ck.av_vels, straight.av_vels, rtol=1e-6)
+
+
+class TestCheckpointedPaddedTier:
+    """Checkpoint/resume composed with the >=16384^2 padded-native stream
+    tier (VERDICT round-3 item 2: this composition used to silently
+    restart every segment from equilibrium).  A tiny grid is forced onto
+    the tier by monkeypatching the HBM size and the stream support gate;
+    the kernel runs in interpret mode (hermetic, CPU)."""
+
+    @pytest.fixture()
+    def padded_sim(self, monkeypatch):
+        from advanced_hpc_lbm_tpu.models import d2q9_bgk
+        from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+        params = LBMParams(
+            nx=128, ny=64, max_iters=16, reynolds_dim=10,
+            density=0.1, accel=0.005, omega=1.85,
+        )
+        # 2x state + mask = 622592 B > 0.9*hbm, padded tier = 442368 B
+        # fits -> _make_device_runner selects the padded-native runner
+        monkeypatch.setattr(d2q9_bgk, "_device_hbm_bytes", lambda: 500_000)
+        monkeypatch.setattr(pallas_stream, "supported", lambda ny, nx: True)
+        orig = pallas_stream.make_padded_runner
+        monkeypatch.setattr(
+            pallas_stream, "make_padded_runner",
+            lambda obst, p, *, n_iters, interpret=False: orig(
+                obst, p, n_iters=n_iters, interpret=True
+            ),
+        )
+        # 4 tiles of 16 rows: exercises the multi-tile pipeline
+        monkeypatch.setenv("LBM_STREAM_TY", "16")
+        mask = np.zeros((64, 128), dtype=bool)
+        mask[0] = mask[-1] = True
+        mask[20:24, 40:48] = True
+        sim = Simulation(params, mask, backend="stream")
+        runner = sim._make_device_runner(8, False)
+        assert getattr(runner, "padded_native", False)  # tier engaged
+        return sim, params, mask
+
+    def test_checkpointed_equals_straight_and_oracle(
+        self, padded_sim, tmp_path
+    ):
+        sim, params, mask = padded_sim
+        straight = sim.run(n_iters=16)
+        ck = sim.run(
+            n_iters=16, checkpoint_every=8, checkpoint_dir=tmp_path / "ck"
+        )
+        np.testing.assert_array_equal(ck.f_final, straight.f_final)
+        np.testing.assert_array_equal(ck.av_vels, straight.av_vels)
+        # and both match the fused oracle — catches "plausible garbage"
+        # (the original bug restarted each segment from equilibrium,
+        # which still produces finite, stable-looking output).  Built at
+        # the op level: a fused-backend Simulation would trip the
+        # monkeypatched 500 kB HBM fit gate.
+        import jax.numpy as jnp
+
+        from advanced_hpc_lbm_tpu.ops import fused, reference
+
+        f_o, av_o = fused.run_simulation(
+            reference.initial_state(params), jnp.asarray(mask), params,
+            n_iters=16,
+        )
+        np.testing.assert_allclose(
+            ck.f_final, np.asarray(f_o), rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(ck.av_vels, np.asarray(av_o), rtol=5e-4)
+
+    def test_resume_threads_host_state(self, padded_sim, tmp_path):
+        """A resumed padded-tier run must continue from the snapshot (the
+        host state is wrap-padded host-side and shipped in one
+        device_put), not restart from equilibrium."""
+        sim, params, mask = padded_sim
+        ckdir = tmp_path / "ck"
+        sim.run(n_iters=8, checkpoint_every=8, checkpoint_dir=ckdir)
+        assert CheckpointManager(ckdir).steps()[-1] == 8
+        resumed = sim.run(
+            n_iters=16, checkpoint_every=8, checkpoint_dir=ckdir,
+            resume=True,
+        )
+        straight = sim.run(n_iters=16)
+        np.testing.assert_array_equal(resumed.f_final, straight.f_final)
+        np.testing.assert_array_equal(resumed.av_vels, straight.av_vels)
+
+    def test_non_k_multiple_segment_fails_loud(self, padded_sim, tmp_path):
+        sim, _, _ = padded_sim
+        with pytest.raises(ValueError, match="n_iters % 8"):
+            sim.run(
+                n_iters=12, checkpoint_every=12,
+                checkpoint_dir=tmp_path / "ck",
+            )
+
+
+class TestCheckpointWarmup:
+    def test_warmup_compiles_first_segment(self, sim):
+        """warmup(checkpoint_every=N) must pre-build the N-step segment
+        executable so the segment loop's Compute time stays pure compute
+        (VERDICT round-3 item 7)."""
+        sim.warmup(n_iters=12, checkpoint_every=5)
+        assert (5, False) in sim._compiled
+
+    def test_run_reuses_warmed_segment(self, sim, tmp_path, monkeypatch):
+        sim.warmup(n_iters=12, checkpoint_every=4)
+        assert (4, False) in sim._compiled
+        calls = []
+        orig = sim._make_device_runner
+
+        def counting(seg, debug):
+            calls.append((seg, debug))
+            return orig(seg, debug)
+
+        monkeypatch.setattr(sim, "_make_device_runner", counting)
+        ck = sim.run(
+            n_iters=12, checkpoint_every=4, checkpoint_dir=tmp_path / "ck"
+        )
+        # all three segments are length 4: the warmed executable covers
+        # every one — no mid-run compile
+        assert calls == []
+        straight = sim.run(n_iters=12)
+        np.testing.assert_array_equal(ck.f_final, straight.f_final)
+
+    def test_warmup_resume_at_target_is_noop(self, sim, tmp_path):
+        ckdir = tmp_path / "ck"
+        sim.run(n_iters=8, checkpoint_every=8, checkpoint_dir=ckdir)
+        before = dict(sim._compiled)
+        sim.warmup(n_iters=8, checkpoint_dir=ckdir, resume=True)
+        assert sim._compiled == before  # nothing left to run -> no compile

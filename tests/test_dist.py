@@ -280,3 +280,118 @@ def test_comm_avoiding_2d_rejects_pallas(deck):
             f0, jnp.asarray(mask), params, (2, 2), n_iters=4,
             ca_steps=2, kernel="pallas",
         )
+
+
+class TestShardedDebugDensity:
+    """The reference's #ifdef DEBUG output (per-step av velocity AND total
+    density, d2q9-bgk.c:196-200) on the distributed path: the density is
+    one extra psum'd scalar streamed through the sharded scan (VERDICT
+    round-3 item 8 — this used to raise on the sharded backend)."""
+
+    def _single_device_debug(self, deck, n_iters):
+        params, mask = deck
+        obst = jnp.asarray(mask)
+        return fused.run_simulation(
+            reference.initial_state(params), obst, params, n_iters=n_iters,
+            collect_density=True,
+        )
+
+    @pytest.mark.parametrize("n_devices", [2, 4])
+    def test_1d_matches_single_device_stream(self, deck, n_devices):
+        params, mask = deck
+        obst = jnp.asarray(mask)
+        f_ref, av_ref, dens_ref = self._single_device_debug(deck, 40)
+        f_sh, av_sh, dens_sh = halo.run_sharded(
+            reference.initial_state(params), obst, params,
+            n_devices=n_devices, collect_density=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(f_sh), np.asarray(f_ref), rtol=1e-6, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(av_sh), np.asarray(av_ref), rtol=1e-5
+        )
+        # density = psum of per-shard sums vs one global fp32 sum:
+        # summation-order error only (the fp64 masses are identical;
+        # a sequential fp32 sum of 18k elements carries ~1e-4 relative)
+        np.testing.assert_allclose(
+            np.asarray(dens_sh), np.asarray(dens_ref), rtol=1e-4
+        )
+        assert dens_sh.shape == (40,)
+
+    def test_2d_mesh_density(self, deck):
+        params, mask = deck
+        obst = jnp.asarray(mask)
+        _, _, dens_ref = self._single_device_debug(deck, 40)
+        _, av, dens = halo.run_sharded_2d(
+            reference.initial_state(params), obst, params, (2, 2),
+            collect_density=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dens), np.asarray(dens_ref), rtol=1e-4
+        )
+        assert av.shape == dens.shape == (40,)
+
+    @pytest.mark.parametrize("kernel", ["jnp"])
+    def test_ca_density(self, deck, kernel):
+        """CA ghost zones (K steps per exchange) still emit one density
+        per STEP (own-rows sum of each intermediate window)."""
+        params, mask = deck
+        obst = jnp.asarray(mask)
+        _, _, dens_ref = self._single_device_debug(deck, 40)
+        _, av, dens = halo.run_sharded(
+            reference.initial_state(params), obst, params,
+            n_devices=4, ca_steps=4, kernel=kernel, collect_density=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dens), np.asarray(dens_ref), rtol=1e-4
+        )
+        assert dens.shape == (40,)
+
+    def test_pallas_kernel_density_interpret(self):
+        """kernel='pallas' streams densities too (computed OUTSIDE the
+        opaque kernel from the post-step slab).  Lane-aligned nx (the
+        Mosaic kernel's requirement)."""
+        params = LBMParams(
+            nx=128, ny=64, max_iters=40, reynolds_dim=10,
+            density=0.1, accel=0.005, omega=1.85,
+        )
+        mask = np.zeros((params.ny, params.nx), dtype=bool)
+        mask[0] = mask[-1] = True
+        mask[30:34, 40:80] = True
+        obst = jnp.asarray(mask)
+        _, _, dens_ref = self._single_device_debug((params, mask), 40)
+        _, av, dens = halo.run_sharded(
+            reference.initial_state(params), obst, params,
+            n_devices=2, kernel="pallas", interpret=True,
+            collect_density=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dens), np.asarray(dens_ref), rtol=1e-4
+        )
+
+    def test_model_run_sharded_debug(self, deck):
+        """Simulation.run(devices=N, debug=True) — the user-facing
+        composition — returns the density stream and matches the
+        single-device debug run."""
+        from advanced_hpc_lbm_tpu.models.d2q9_bgk import Simulation
+
+        params, mask = deck
+        single = Simulation(params, mask, backend="fused").run(
+            n_iters=24, debug=True
+        )
+        sharded = Simulation(params, mask, backend="fused").run(
+            n_iters=24, devices=4, debug=True
+        )
+        assert sharded.densities is not None
+        np.testing.assert_allclose(
+            sharded.densities, single.densities, rtol=1e-4
+        )
+        # and both sit at the analytic mass (density * n_cells = 204.8)
+        np.testing.assert_allclose(
+            sharded.densities, params.density * params.nx * params.ny,
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            sharded.av_vels, single.av_vels, rtol=1e-5
+        )

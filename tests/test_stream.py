@@ -339,3 +339,88 @@ def test_auto_prefers_stream_at_8192(monkeypatch):
         params, np.zeros((8192, 8192), dtype=bool), backend="auto"
     )
     assert sim.backend == "stream"
+
+
+class TestDeviceHbmBytes:
+    """_device_hbm_bytes: memory_stats first, device_kind table second,
+    and NO fixed-HBM assumption when devices can't be enumerated
+    (VERDICT round-3 item 9 / ADVICE round 3)."""
+
+    class _Dev:
+        def __init__(self, platform="tpu", kind="TPU v5 lite", stats=None,
+                     raise_stats=False):
+            self.platform = platform
+            self.device_kind = kind
+            self._stats = stats
+            self._raise = raise_stats
+
+        def memory_stats(self):
+            if self._raise:
+                raise RuntimeError("no stats")
+            return self._stats
+
+    def _patch(self, monkeypatch, devices_fn):
+        from advanced_hpc_lbm_tpu.models import d2q9_bgk
+
+        monkeypatch.setattr(d2q9_bgk.jax, "devices", devices_fn)
+        return d2q9_bgk
+
+    def test_memory_stats_wins(self, monkeypatch):
+        d = self._Dev(stats={"bytes_limit": 12345})
+        m = self._patch(monkeypatch, lambda: [d])
+        assert m._device_hbm_bytes() == 12345
+
+    def test_non_tpu_returns_none(self, monkeypatch):
+        m = self._patch(monkeypatch, lambda: [self._Dev(platform="cpu")])
+        assert m._device_hbm_bytes() is None
+
+    def test_devices_failure_returns_none(self, monkeypatch):
+        def boom():
+            raise RuntimeError("Unable to initialize backend")
+
+        m = self._patch(monkeypatch, boom)
+        assert m._device_hbm_bytes() is None
+
+    @pytest.mark.parametrize(
+        "kind,gib",
+        [
+            ("TPU v5 lite", 16),
+            ("TPU v5e", 16),
+            ("TPU v5p", 95),
+            ("TPU v4", 32),
+            ("TPU v6 lite", 32),
+        ],
+    )
+    def test_kind_fallback_warns(self, monkeypatch, kind, gib):
+        d = self._Dev(kind=kind, raise_stats=True)
+        m = self._patch(monkeypatch, lambda: [d])
+        with pytest.warns(UserWarning, match=f"assuming {gib} GiB"):
+            assert m._device_hbm_bytes() == gib * 2**30
+
+    def test_unknown_kind_assumes_smallest(self, monkeypatch):
+        d = self._Dev(kind="TPU v99 mega", stats={})
+        m = self._patch(monkeypatch, lambda: [d])
+        with pytest.warns(UserWarning, match="unrecognized"):
+            assert m._device_hbm_bytes() == 16 * 2**30
+
+
+def test_debug_fit_gate_uses_fused_requirement(monkeypatch):
+    """backend=stream passes the padded-tier HBM gate, but --debug falls
+    back to the fused 3x-state runner — the fit check must gate on THAT
+    (ADVICE round 3: a 12288^2 --debug run used to pass the gate and hit
+    a raw ResourceExhausted)."""
+    from advanced_hpc_lbm_tpu.models import d2q9_bgk
+
+    monkeypatch.setattr(d2q9_bgk, "_device_hbm_bytes", lambda: 16 * 2**30)
+    monkeypatch.setattr(pallas_stream, "supported", lambda ny, nx: True)
+    n = 12288
+    params = LBMParams(
+        nx=n, ny=n, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    sim = d2q9_bgk.Simulation(
+        params, np.zeros((n, n), dtype=bool), backend="stream"
+    )
+    sim._check_single_chip_fit(False)  # padded tier fits: no raise
+    with pytest.raises(ValueError, match="--debug forces the fused"):
+        sim._check_single_chip_fit(True)

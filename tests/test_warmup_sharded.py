@@ -28,7 +28,7 @@ def test_warmup_caches_sharded_runner_and_run_reuses_it(deck):
     params, mask = deck
     sim = Simulation(params, mask, backend="sharded")
     sim.warmup(devices=4)
-    key = ("sharded", params.max_iters, 4, "jnp", None, 1)
+    key = ("sharded", params.max_iters, 4, "jnp", None, 1, False)
     assert key in sim._compiled
     runner_before = sim._compiled[key][0]
     res = sim.run(devices=4)
