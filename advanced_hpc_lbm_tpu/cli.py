@@ -61,8 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="fail loudly if the run produced NaN/Inf (numerical sanitizer)",
     )
     p.add_argument(
-        "--shard-kernel", default="jnp", choices=["jnp", "pallas"],
-        help="local-step implementation for --backend sharded",
+        "--shard-kernel", default="jnp", choices=["jnp", "pallas", "stream"],
+        help="local-step implementation for --backend sharded: jnp "
+             "(XLA-fused), pallas (Mosaic VMEM-window kernel), stream "
+             "(HBM-streaming manual-DMA kernel, K=8 steps/exchange — for "
+             "shards whose slab exceeds the VMEM-window sizes)",
     )
     p.add_argument(
         "--mesh", default=None, metavar="MYxMX",

@@ -20,6 +20,7 @@ to rcp+refinement — no measurable win.)
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from advanced_hpc_lbm_tpu.ops import lattice
@@ -170,6 +171,101 @@ def lean_window_step(src, dst, w_obst, accel_T, params: LBMParams, T: int, nx: i
         odd = cu * jnp.float32(3.0)
         dst[kk] = jnp.where(w_obst, sko, tw * (even + odd) + om1 * sk)
         dst[ko] = jnp.where(w_obst, sk, tw * (even - odd) + om1 * sko)
+
+    pair(1, u_x)
+    pair(2, u_y)
+    pair(5, u_x + u_y)
+    pair(8, u_x - u_y)
+    return u_sq
+
+
+def lean_window_step_rows(
+    src, dst, w_obst, accel_T, params: LBMParams, T: int, nx: int,
+    lo: int, hi: int,
+):
+    """:func:`lean_window_step` restricted to output rows [lo, hi) — the
+    static-slice trapezoid form.
+
+    The full-window form computes all T rows every step and lets the
+    y-roll's wrap garbage land in the rows the trapezoid invalidates;
+    this form instead never computes the invalidated rows at all: each
+    plane's pull reads source rows [lo-cy, hi-cy) as a STATIC slice (no
+    y-roll — the rows a wrap would corrupt are simply never read),
+    forcing is evaluated on those source rows, and phase B runs on the
+    (hi-lo)-row subwindow.  Per-row fp ops are identical to
+    lean_window_step, so the rows both forms compute are bitwise equal
+    (tests/test_stream.py trapezoid equivalence); a K-step caller
+    shrinking [lo, hi) by one row per side per step computes
+    K*(T-K-1)/(K*T) of the full-window rows — an 11%/14%/23% VPU cut at
+    the 8192²/16384²/18432² stream tiles.
+
+    Requires 1 <= lo and hi <= T-1 (the pull and the forcing guard read
+    one row past each bound).  Rows of ``dst`` outside [lo, hi) are left
+    untouched (stale) — callers must never read them, which the
+    shrinking schedule guarantees.  Returns u_sq for rows [lo, hi).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert 1 <= lo < hi <= T - 1, (lo, hi, T)
+    n = hi - lo
+    zero = jnp.float32(0.0)
+    w1a, w2a = params.accel_w1, params.accel_w2
+    omega = params.omega_f32
+    om1 = jnp.float32(1.0) - omega
+    deltas = {1: w1a, 5: w2a, 8: w2a, 3: -w1a, 6: -w2a, 7: -w2a}
+
+    # forcing guard on the SOURCE rows any plane may pull: [lo-1, hi+1)
+    a = lo - 1
+    okS = (
+        accel_T[a : a + n + 2]
+        & jnp.logical_not(w_obst[a : a + n + 2])
+        & (src[3, a : a + n + 2, :] - w1a > 0.0)
+        & (src[6, a : a + n + 2, :] - w2a > 0.0)
+        & (src[7, a : a + n + 2, :] - w2a > 0.0)
+    )
+    # phase A: force + pull each plane's [lo-cy, hi-cy) source slice
+    for kk in range(lattice.NSPEEDS):
+        cy, cx = int(lattice.CY[kk]), int(lattice.CX[kk])
+        plane = src[kk, lo - cy : hi - cy, :]
+        dv = deltas.get(kk)
+        if dv is not None:
+            ok_k = jax.lax.slice_in_dim(okS, 1 - cy, 1 - cy + n, axis=0)
+            plane = plane + jnp.where(ok_k, jnp.float32(dv), zero)
+        if cx:
+            plane = pltpu.roll(plane, cx % nx, axis=1)
+        dst[kk, lo:hi, :] = plane
+
+    # phase B: moments + pairwise BGK + bounce-back on the subwindow
+    ob = jax.lax.slice_in_dim(w_obst, lo, hi, axis=0)
+    rho = dst[0, lo:hi, :]
+    for kk in range(1, lattice.NSPEEDS):
+        rho = rho + dst[kk, lo:hi, :]
+    inv_rho = 1.0 / rho
+    u_x = (
+        dst[1, lo:hi, :] + dst[5, lo:hi, :] + dst[8, lo:hi, :]
+        - dst[3, lo:hi, :] - dst[6, lo:hi, :] - dst[7, lo:hi, :]
+    ) * inv_rho
+    u_y = (
+        dst[2, lo:hi, :] + dst[5, lo:hi, :] + dst[6, lo:hi, :]
+        - dst[4, lo:hi, :] - dst[7, lo:hi, :] - dst[8, lo:hi, :]
+    ) * inv_rho
+    u_sq = u_x * u_x + u_y * u_y
+    base = 1.0 - u_sq * jnp.float32(1.5)
+
+    s0 = dst[0, lo:hi, :]
+    dst[0, lo:hi, :] = jnp.where(
+        ob, s0,
+        (jnp.float32(lattice.W[0]) * omega) * rho * base + om1 * s0,
+    )
+
+    def pair(kk, cu):
+        ko = int(lattice.OPP[kk])
+        sk, sko = dst[kk, lo:hi, :], dst[ko, lo:hi, :]
+        tw = (jnp.float32(lattice.W[kk]) * omega) * rho
+        even = base + (cu * cu) * jnp.float32(4.5)
+        odd = cu * jnp.float32(3.0)
+        dst[kk, lo:hi, :] = jnp.where(ob, sko, tw * (even + odd) + om1 * sk)
+        dst[ko, lo:hi, :] = jnp.where(ob, sk, tw * (even - odd) + om1 * sko)
 
     pair(1, u_x)
     pair(2, u_y)

@@ -103,6 +103,7 @@ def _kernel(
     p0, p1, d_scr, m0, m1, stash,
     sem_f0, sem_f1, sem_m0, sem_m1, sem_o0, sem_o1,
     *, params: LBMParams, ty: int, ny: int, nx: int, inplace: bool,
+    trapezoid: bool,
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -159,20 +160,38 @@ def _kernel(
             def _start_prev_egress():
                 egress_main(i - 1, pother, so_other).start()
 
-        w_obst = mbuf[...] != 0.0
-        obst_main = mbuf[K : K + ty, :] != 0.0
-        # window row r <-> global row (i*ty - K + r) mod ny; the forcing
-        # row ny-2 can appear both as an own row and as a pad image
-        accel_T = (
-            (jax.lax.broadcasted_iota(jnp.int32, (T, nx), 0) + i * ty - K)
-            % ny
-        ) == (ny - 2)
+        # the mask plane is ENCODED (encode_masks): +1 obstacle, +2
+        # forcing row — decoded with f32 compares (int-born bools hit
+        # Mosaic relayout errors, CLAUDE.md).  Carrying the forcing rows
+        # as data instead of iota row-ids is what lets the SAME kernel
+        # run both the periodic single-chip state (forcing at global row
+        # ny-2, incl. its pad images) and a ring-exchanged shard window
+        # (forcing wherever the shard's slice of the global mask says).
+        m = mbuf[...]
+        w_obst = (m == 1.0) | (m == 3.0)
+        obst_main = w_obst[K : K + ty, :]
+        accel_T = m >= 2.0
 
         def step(s, src, dst):
-            u_sq = kernel_common.lean_window_step(
-                src, dst, w_obst, accel_T, params, T, nx
-            )
-            norm = jnp.sqrt(jax.lax.slice_in_dim(u_sq, K, K + ty, axis=0))
+            if trapezoid:
+                # shrinking static-slice window: step s only computes the
+                # rows still valid after it, [s+1, T-s-1) — K*(T-K-1)
+                # rows total vs K*T for the full-window form (bitwise-
+                # equal own rows; kernel_common.lean_window_step_rows)
+                lo, hi = s + 1, T - s - 1
+                u_sq = kernel_common.lean_window_step_rows(
+                    src, dst, w_obst, accel_T, params, T, nx, lo, hi
+                )
+                norm = jnp.sqrt(
+                    jax.lax.slice_in_dim(u_sq, K - lo, K - lo + ty, axis=0)
+                )
+            else:
+                u_sq = kernel_common.lean_window_step(
+                    src, dst, w_obst, accel_T, params, T, nx
+                )
+                norm = jnp.sqrt(
+                    jax.lax.slice_in_dim(u_sq, K, K + ty, axis=0)
+                )
             tot_ref[i, s] = jnp.sum(jnp.where(obst_main, zero, norm))
 
         # two steps of compute first: tile i-1's egress (reading pother)
@@ -290,10 +309,12 @@ def _build_call(
     ty: int,
     interpret: bool,
     inplace: bool = False,
+    trapezoid: bool = False,
 ):
     T = ty + 2 * K
     kernel = functools.partial(
-        _kernel, params=params, ty=ty, ny=ny, nx=nx, inplace=inplace
+        _kernel, params=params, ty=ty, ny=ny, nx=nx, inplace=inplace,
+        trapezoid=trapezoid,
     )
     return pl.pallas_call(
         kernel,
@@ -346,9 +367,23 @@ def unpad_state(f_pad: jax.Array) -> jax.Array:
     return f_pad[:, K:-K, :]
 
 
+def encode_masks(obstacles: jax.Array, accel_rows: jax.Array) -> jax.Array:
+    """The kernel's single f32 mask plane: +1 obstacle, +2 forcing row.
+    ``accel_rows`` is a (ny,) bool row mask (globally: row ny-2,
+    d2q9-bgk.c:239-260; on a shard: that row's local slice or all-False)."""
+    return (
+        (obstacles != 0).astype(jnp.float32)
+        + 2.0 * accel_rows.astype(jnp.float32)[:, None]
+    )
+
+
 def prepare_obstacles(obstacles: jax.Array) -> jax.Array:
-    """Wrap-padded f32 mask plane."""
-    m = obstacles.astype(jnp.float32)
+    """Wrap-padded encoded mask plane for the periodic single-chip form
+    (forcing at global row ny-2; the wrap padding carries its pad images
+    automatically)."""
+    ny = obstacles.shape[0]
+    accel_rows = jnp.zeros(ny, bool).at[ny - 2].set(True)
+    m = encode_masks(obstacles, accel_rows)
     return jnp.concatenate([m[-K:], m, m[:K]], axis=0)
 
 
@@ -378,6 +413,7 @@ def multi_step_padded(
     *,
     interpret: bool = False,
     inplace: bool = False,
+    trapezoid: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Advance K=8 timesteps on a wrap-padded state; returns
     (f_pad_next, av_8).  The scan-ready form: padding in == padding out.
@@ -391,9 +427,60 @@ def multi_step_padded(
         raise ValueError(
             f"grid {ny}x{nx} not tileable for the streaming kernel"
         )
-    call = _build_call(params, ny, nx, ty, interpret, inplace)
+    call = _build_call(params, ny, nx, ty, interpret, inplace, trapezoid)
     f_next, tots = call(f_pad, obst_pad_f32)
     return f_next, jnp.sum(tots, axis=0) / n_fluid
+
+
+def window_supported(ly: int, nx: int) -> bool:
+    """Structural tileability of a (9, ly+2K, nx) shard window (platform
+    left to the caller: interpret mode runs anywhere)."""
+    return (
+        nx % _LANE == 0
+        and ly % 8 == 0
+        and ly >= K
+        and _pick_tile_rows(ly, nx) is not None
+    )
+
+
+def window_ca_steps(
+    window: jax.Array,
+    masks_enc_ext: jax.Array,
+    params: LBMParams,
+    *,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Advance a ±K ghost-extended shard window K=8 steps — the multi-chip
+    composition of the single-chip record kernel (parallel/halo.py
+    kernel="stream"): the ghost rows hold ring-neighbor data instead of
+    periodic wrap images, everything else (tiling, DMA schedule, lean
+    trapezoid step) is byte-identical to the single-chip form, so a
+    two-chip mesh can run grids whose single-chip form already needs the
+    streaming tier.
+
+    Args:
+      window: (9, ly+2K, nx) — own rows [K, K+ly) plus K neighbor rows
+        each side (assembled by ring ppermute, halo._extend_rows).
+      masks_enc_ext: (ly+2K, nx) f32 encoded mask plane (encode_masks,
+        same ±K ring extension; loop-invariant — build once per run).
+      params: static run parameters.
+
+    Returns (f_own (9, ly, nx), tots (K,)) — per-step ||u|| partial sums
+    over the shard's own fluid cells (psum and divide outside).  The
+    kernel's trailing pad-maintenance writes land in the output's ghost
+    rows, which the next exchange rebuilds — own rows are unaffected.
+    """
+    _, r, nx = window.shape
+    ly = r - 2 * K
+    if not window_supported(ly, nx):
+        raise ValueError(
+            f"shard slab {ly}x{nx} not tileable for the streaming window "
+            "kernel (lane-aligned nx, 8-multiple ly required)"
+        )
+    ty = _pick_tile_rows(ly, nx)
+    call = _build_call(params, ly, nx, ty, interpret, False)
+    out_pad, tots = call(window, masks_enc_ext)
+    return unpad_state(out_pad), jnp.sum(tots, axis=0)
 
 
 def multi_step(
@@ -424,6 +511,7 @@ def run_padded(
     n_iters: int,
     interpret: bool = False,
     inplace: bool = False,
+    trapezoid: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """The K-multiple part of the loop on an ALREADY-padded state:
     ``n_iters`` must be a multiple of K.  Split out so huge grids can
@@ -438,7 +526,7 @@ def run_padded(
     def one(f_p):
         return multi_step_padded(
             f_p, obst_pad, n_fluid, params, interpret=interpret,
-            inplace=inplace,
+            inplace=inplace, trapezoid=trapezoid,
         )
 
     if inplace:
@@ -473,6 +561,7 @@ def run(
     n_iters: int | None = None,
     interpret: bool = False,
     inplace: bool = False,
+    trapezoid: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Full loop at K=8 steps per streamed pass (tail via the 1-step
     kernel).  Drop-in for ops.fused.run_simulation; wrap in jax.jit.
@@ -494,7 +583,7 @@ def run(
     if done:
         f_pad, av = run_padded(
             f_pad, obst_pad, n_fluid, params, n_iters=done,
-            interpret=interpret, inplace=inplace,
+            interpret=interpret, inplace=inplace, trapezoid=trapezoid,
         )
     f = unpad_state(f_pad)
     if iters - done:

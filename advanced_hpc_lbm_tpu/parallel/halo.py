@@ -335,14 +335,34 @@ def make_sharded_runner(
     avoiding ghost zones — K× fewer ring latencies for 2K/ly extra seam
     compute (_local_fused_ca_steps; with kernel="pallas" the whole ±K
     window runs the Mosaic CA kernel, gated on pallas_local.ca_supported).
+    ``kernel="stream"`` runs the HBM-streaming manual-DMA kernel
+    (ops.pallas_stream.window_ca_steps) on each shard's ±K ghost window,
+    K=8 steps per exchange — the multi-chip composition of the
+    single-chip huge-grid record holder, for shards whose slab is itself
+    too big for VMEM-window kernels (implies ca_steps=8; pass ca_steps=1
+    (default) or 8).
     ``collect_density`` also streams the per-step total density — a
     psum'd scalar per step — through the scan (the reference's #ifdef
-    DEBUG output, d2q9-bgk.c:196-200); the one combination that can't
-    stream it natively is the Mosaic CA window kernel (intermediate
-    states live only inside the kernel), which debug-falls-back to the
-    jnp CA path, mirroring the single-device debug fallback to the fused
-    scan.  Returns (runner, shardings) where runner(f0, obstacles,
+    DEBUG output, d2q9-bgk.c:196-200); the combinations that can't
+    stream it natively are the Mosaic CA window kernel and the streaming
+    window kernel (intermediate states live only inside the kernel),
+    which debug-fall-back to the jnp CA path, mirroring the
+    single-device debug fallback to the fused scan.
+    Returns (runner, shardings) where runner(f0, obstacles,
     row_mask, n_fluid) -> (f_final, av_vels[, densities])."""
+    if kernel == "stream":
+        from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+        if ca_steps not in (1, pallas_stream.K):
+            raise ValueError(
+                f"kernel='stream' advances K={pallas_stream.K} steps per "
+                f"exchange by construction; pass ca_steps={pallas_stream.K} "
+                "or leave it at 1"
+            )
+        ca_steps = pallas_stream.K
+        if collect_density:
+            kernel = "jnp"  # debug fallback (per-step densities)
+
     f_spec = P(None, axis, None)
     grid_spec = P(axis, None)
     row_spec = P(axis)
@@ -350,6 +370,43 @@ def make_sharded_runner(
     def whole_run(f, obstacles, row_mask, n_fluid):
         def dens_of(f_local):
             return jax.lax.psum(jnp.sum(f_local), axis)
+
+        if kernel == "stream":
+            from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+            k = ca_steps  # == pallas_stream.K
+            enc = pallas_stream.encode_masks(obstacles, row_mask)
+            enc_ext = _extend_rows(enc, axis, k, row_axis=0)
+
+            def one_stream(carry_f):
+                window = _extend_rows(carry_f, axis, k, row_axis=1)
+                f_own, tots = pallas_stream.window_ca_steps(
+                    window, enc_ext, params, interpret=interpret
+                )
+                return f_own, jax.lax.psum(tots, axis) / n_fluid
+
+            # two opaque kernel calls per scan body (copy-free carry,
+            # see ops.fused.run_simulation)
+            def body_s(carry_f, _):
+                f1, a1 = one_stream(carry_f)
+                f2, a2 = one_stream(f1)
+                return f2, jnp.concatenate([a1, a2])
+
+            f, av_chunks = jax.lax.scan(
+                body_s, f, None, length=n_iters // (2 * k)
+            )
+            avs = av_chunks.reshape(-1)
+            rem = n_iters % (2 * k)
+            if rem >= k:
+                f, av_mid = one_stream(f)
+                avs = jnp.concatenate([avs, av_mid])
+                rem -= k
+            for _ in range(rem):  # sub-K tail: 1-step jnp local step
+                f, av_last = _local_fused_step(
+                    f, obstacles, row_mask, n_fluid, params, axis
+                )
+                avs = jnp.concatenate([avs, av_last[None]])
+            return f, avs
 
         if kernel == "pallas" and ca_steps > 1 and not collect_density:
             from advanced_hpc_lbm_tpu.ops import pallas_local
@@ -492,7 +549,7 @@ def make_sharded_runner(
         out_specs=(f_spec, P(), P()) if collect_density else (f_spec, P()),
         # pallas_call outputs carry no varying-across-mesh annotation, so
         # the vma consistency check can't see through them
-        check_vma=(kernel != "pallas"),
+        check_vma=(kernel not in ("pallas", "stream")),
     )
     runner = jax.jit(mapped, donate_argnums=0)
     shardings = {
@@ -652,6 +709,11 @@ def make_sharded_runner_2d(
             "torus (the Mosaic CA window kernel assumes an unsharded "
             "periodic x axis); use kernel='jnp' or a 1-D mesh"
         )
+    if kernel == "stream":
+        raise ValueError(
+            "kernel='stream' needs an unsharded periodic x axis (the "
+            "streaming window kernel rolls x in-kernel); use a 1-D mesh"
+        )
 
     f_spec = P(None, "y", "x")
     grid_spec = P("y", "x")
@@ -744,7 +806,7 @@ def make_sharded_runner_2d(
         mesh=mesh,
         in_specs=(f_spec, grid_spec, row_spec, P()),
         out_specs=(f_spec, P(), P()) if collect_density else (f_spec, P()),
-        check_vma=(kernel != "pallas"),
+        check_vma=(kernel not in ("pallas", "stream")),
     )
     runner = jax.jit(mapped, donate_argnums=0)
     shardings = {

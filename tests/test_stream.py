@@ -424,3 +424,30 @@ def test_debug_fit_gate_uses_fused_requirement(monkeypatch):
     sim._check_single_chip_fit(False)  # padded tier fits: no raise
     with pytest.raises(ValueError, match="--debug forces the fused"):
         sim._check_single_chip_fit(True)
+
+
+@pytest.mark.parametrize("inplace", [False, True])
+def test_trapezoid_bitwise_equals_full_window(deck, monkeypatch, inplace):
+    """The static-slice trapezoid step (lean_window_step_rows) computes
+    only the rows still valid after each step; own rows and the av
+    reduction must be BITWISE equal to the full-window wrap-garbage form
+    (same per-row fp ops), on both DMA schedules, across a 4-tile
+    pipeline."""
+    params, mask = deck
+    monkeypatch.setenv("LBM_STREAM_TY", "16")
+    obst = jnp.asarray(mask)
+    n_fluid = jnp.sum(obst == 0).astype(jnp.float32)
+    obst_pad = pallas_stream.prepare_obstacles(obst)
+    fp = pallas_stream.pad_state(reference.initial_state(params))
+    a_f, a_av = pallas_stream.multi_step_padded(
+        fp, obst_pad, n_fluid, params, interpret=True, inplace=inplace
+    )
+    b_f, b_av = pallas_stream.multi_step_padded(
+        fp, obst_pad, n_fluid, params, interpret=True, inplace=inplace,
+        trapezoid=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pallas_stream.unpad_state(a_f)),
+        np.asarray(pallas_stream.unpad_state(b_f)),
+    )
+    np.testing.assert_array_equal(np.asarray(a_av), np.asarray(b_av))
