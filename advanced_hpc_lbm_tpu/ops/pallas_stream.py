@@ -596,6 +596,18 @@ def run(
     return f, av
 
 
+def use_trapezoid(ny: int, nx: int) -> bool:
+    """Default step form per tile size (measured, scripts/
+    stream_trapezoid_probe.py 2026-08-18): the static-slice trapezoid's
+    unaligned sublane loads cost ~16% per row, so it only wins where the
+    row savings (K*(T-K-1)/(K*T)) are larger — small tiles.  At ty=64
+    (8192²) full-window won 16.46 vs 15.98 GLUPS; the crossover model
+    puts the win at ty <= 32 (16384²+ padded tiers).  Probe-gated: flip
+    per measurement, not theory."""
+    ty = _pick_tile_rows(ny, nx)
+    return ty is not None and ty <= 32
+
+
 def padded_tier_bytes(ny: int, nx: int) -> int:
     """Device HBM the padded-native runner needs: the single wrap-padded
     state buffer + the f32 mask plane (plane-wise fetch adds one
@@ -609,6 +621,7 @@ def make_padded_runner(
     *,
     n_iters: int,
     interpret: bool = False,
+    trapezoid: bool | None = None,
 ):
     """Whole-run runner for grids where even the UNPADDED state cannot
     sit beside the padded carry (16384²+ on a 16 GiB chip): equilibrium
@@ -640,10 +653,13 @@ def make_padded_runner(
     op_s = jax.ShapeDtypeStruct(obst_pad.shape, obst_pad.dtype)
     nf_s = jax.ShapeDtypeStruct((), jnp.float32)
 
+    if trapezoid is None:
+        trapezoid = use_trapezoid(ny, nx)
+
     def scan_fn(fp, op, nf):
         return run_padded(
             fp, op, nf, params, n_iters=n_iters, interpret=interpret,
-            inplace=True,
+            inplace=True, trapezoid=trapezoid,
         )
 
     # explicit AOT executables (jit's dispatch cache is not seeded by

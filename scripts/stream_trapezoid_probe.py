@@ -19,10 +19,13 @@ Usage: python scripts/stream_trapezoid_probe.py [--size 8192] [--iters 400]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:
