@@ -597,15 +597,17 @@ def run(
 
 
 def use_trapezoid(ny: int, nx: int) -> bool:
-    """Default step form per tile size (measured, scripts/
-    stream_trapezoid_probe.py 2026-08-18): the static-slice trapezoid's
-    unaligned sublane loads cost ~16% per row, so it only wins where the
-    row savings (K*(T-K-1)/(K*T)) are larger — small tiles.  At ty=64
-    (8192²) full-window won 16.46 vs 15.98 GLUPS; the crossover model
-    puts the win at ty <= 32 (16384²+ padded tiers).  Probe-gated: flip
-    per measurement, not theory."""
-    ty = _pick_tile_rows(ny, nx)
-    return ty is not None and ty <= 32
+    """Default step form — MEASURED CLOSED at False (2026-08-18,
+    scripts/stream_trapezoid{,_padded}_probe.py, interleaved): the
+    static-slice trapezoid loses 3% at ty=64/8192² (16.46 vs 15.98
+    GLUPS — its unaligned sublane loads cost ~16% per row, more than the
+    11% row savings) and is a dead heat at ty=24/18432² (13.30 vs 13.29,
+    rounds alternate winners) where the row savings reach 22.5% — i.e.
+    at small tiles the kernel is NOT bound by the seam row recompute at
+    all.  The variant is kept as a bitwise-tested differential oracle
+    (tests/test_stream.py), not a production path."""
+    del ny, nx
+    return False
 
 
 def padded_tier_bytes(ny: int, nx: int) -> int:
