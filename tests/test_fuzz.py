@@ -95,3 +95,39 @@ def test_backends_agree_on_random_decks(seed):
         np.asarray(f_pk), np.asarray(f_fused), rtol=1e-4, atol=1e-6,
         err_msg=f"pallask vs fused diverged (seed {seed}, {params})",
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_stream_kernel_agrees_on_random_decks(seed, monkeypatch):
+    """The HBM-streaming kernel (both step forms) on random decks: the
+    K=8 manual-DMA pass + 1-step tail must track the fused oracle, and
+    the trapezoid step must be BITWISE the full-window step."""
+    from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+    rng = np.random.RandomState(2000 + seed)
+    params, obst, f0 = random_case(rng)
+    # at least one full K=8 pass plus a 1-step tail sometimes
+    iters = int(rng.randint(8, 20))
+    monkeypatch.setenv("LBM_STREAM_TY", "8")
+    n_fluid = jnp.sum(~obst).astype(jnp.float32)
+
+    f_ref = f0
+    for _ in range(iters):
+        f_ref, _ = fused.fused_step(f_ref, obst, n_fluid, params)
+
+    f_s, av_s = pallas_stream.run(
+        f0, obst, params, n_iters=iters, interpret=True, inplace=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_s), np.asarray(f_ref), rtol=1e-4, atol=1e-6,
+        err_msg=f"stream vs fused diverged (seed {seed}, {params})",
+    )
+    f_t, av_t = pallas_stream.run(
+        f0, obst, params, n_iters=iters, interpret=True, inplace=True,
+        trapezoid=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(f_t), np.asarray(f_s),
+        err_msg=f"trapezoid != full-window (seed {seed}, {params})",
+    )
+    np.testing.assert_array_equal(np.asarray(av_t), np.asarray(av_s))
