@@ -7,6 +7,9 @@ here; real chips in production — the code is identical):
   1-D ring         — row slabs, one halo row exchanged per step
   1-D ring, CA     — K=4 rows exchanged every 4 steps (comm-avoiding)
   CA + Mosaic      — the ±K window runs the Pallas CA kernel per shard
+  stream kernel    — the HBM-streaming huge-grid kernel per shard, K=8
+                     steps per exchange (the multi-chip growth path of
+                     the >18432^2 single-chip tier)
   2-D torus        — rows AND columns sharded, two-phase corner-free exchange
 
     python examples/multichip.py
@@ -47,6 +50,11 @@ runs = {
     # (interpret=True emulates the TPU kernel on these CPU devices)
     "1-D ring, CA K=4 + Mosaic": dict(
         n_devices=8, ca_steps=4, kernel="pallas", interpret=True
+    ),
+    # the huge-grid composition: HBM-streaming manual-DMA kernel per
+    # shard (pallas_stream.window_ca_steps), K=8 steps per exchange
+    "1-D ring, stream kernel K=8": dict(
+        n_devices=8, kernel="stream", interpret=True
     ),
 }
 results = {}
