@@ -105,8 +105,10 @@ _HBM_BY_KIND: tuple[tuple[str, int], ...] = (
     ("v5 lite", 16 * 1024**3), ("v5e", 16 * 1024**3),
     ("v5p", 95 * 1024**3), ("v5", 95 * 1024**3),
     ("v4", 32 * 1024**3),
-    ("v3", 32 * 1024**3),
-    ("v2", 16 * 1024**3),
+    # v2/v3 are exposed by jax as per-CORE devices (two cores share a chip),
+    # so the per-device capacity is half the chip's 16/32 GiB.
+    ("v3", 16 * 1024**3),
+    ("v2", 8 * 1024**3),
 )
 
 
@@ -537,8 +539,10 @@ class Simulation:
                     CheckpointManager,
                 )
 
-                steps = CheckpointManager(checkpoint_dir).steps()
-                start = steps[-1] if steps else 0
+                # latest_step (not steps()[-1]): _run_checkpointed skips
+                # unreadable newest snapshots, and warming a segment the
+                # run won't execute would land the real compile in Compute
+                start = CheckpointManager(checkpoint_dir).latest_step()
             if start >= iters:
                 return  # resume is already at/past the target: no compute
             iters = min(checkpoint_every or iters, iters - start)
@@ -757,20 +761,30 @@ class Simulation:
         # state-sized buffer at 16384²+ — and resumed state must stay a
         # HOST array for that tier, which pads host-side)
         f: np.ndarray | jax.Array | None = None
+        density_parts: list[np.ndarray] = []
         if resume:
             latest = mgr.latest()
             if latest is not None:
-                start, f_np, av_prev = latest
+                start, f_np, av_prev, dens_prev = latest
                 f = f_np
                 if start > iters:
                     raise ValueError(
                         f"checkpoint at step {start} is beyond requested {iters}"
                     )
                 av_parts.append(np.asarray(av_prev)[:start])
+                if debug:
+                    # keep result.densities step-aligned with av_vels: a
+                    # snapshot written without --debug has no density
+                    # history, so those steps report NaN rather than
+                    # silently shifting later segments' values earlier
+                    density_parts.append(
+                        np.asarray(dens_prev)[:start]
+                        if dens_prev is not None
+                        else np.full((start,), np.nan, np.float32)
+                    )
 
         # segments use the same backend configuration a straight run would
         sharded = self._is_sharded(devices, mesh)
-        density_parts: list[np.ndarray] = []
         if sharded:
             from advanced_hpc_lbm_tpu.parallel import halo
 
@@ -807,6 +821,19 @@ class Simulation:
                 runners[seg] = r
             return r
 
+        # construct every distinct segment-length runner UPFRONT: runner
+        # construction is where length constraints fail (e.g. the padded
+        # stream tier's K=8 multiple), and a non-conforming TAIL segment
+        # must die before the first segment burns minutes of device time
+        seg_lengths: list[int] = []
+        d = start
+        while d < iters:
+            s = min(every, iters - d)
+            seg_lengths.append(s)
+            d += s
+        for s in dict.fromkeys(seg_lengths):
+            get_runner(s)
+
         done = start
         while done < iters:
             seg = min(every, iters - done)
@@ -830,7 +857,14 @@ class Simulation:
                 f, av_seg = out
             av_parts.append(np.asarray(jax.device_get(av_seg)))
             done += seg
-            mgr.save(done, np.asarray(jax.device_get(f)), np.concatenate(av_parts))
+            mgr.save(
+                done,
+                np.asarray(jax.device_get(f)),
+                np.concatenate(av_parts),
+                densities=(
+                    np.concatenate(density_parts) if debug else None
+                ),
+            )
 
         if f is None:  # zero-iteration run: nothing executed
             f = self.initial_state()

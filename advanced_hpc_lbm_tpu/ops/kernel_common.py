@@ -95,6 +95,55 @@ def forced(planes, obst, row_is_accel, params: LBMParams):
     return out
 
 
+def _collide_window_inplace(load, store, ob, params: LBMParams):
+    """Phase B of the lean window step — moments + pairwise BGK +
+    bounce-back, in place through ``load(k)``/``store(k, v)`` plane
+    accessors.  ONE implementation serves both the full-window form and
+    the static-slice trapezoid form so their bitwise-equality contract
+    (the trapezoid is kept as a differential oracle of the full window)
+    is structural, not a property two hand-kept copies must preserve.
+    Returns u_sq of the post-stream moments."""
+    omega = params.omega_f32
+    om1 = jnp.float32(1.0) - omega
+
+    rho = load(0)
+    for kk in range(1, lattice.NSPEEDS):
+        rho = rho + load(kk)
+    inv_rho = 1.0 / rho
+    u_x = (
+        load(1) + load(5) + load(8) - load(3) - load(6) - load(7)
+    ) * inv_rho
+    u_y = (
+        load(2) + load(5) + load(6) - load(4) - load(7) - load(8)
+    ) * inv_rho
+    u_sq = u_x * u_x + u_y * u_y
+    base = 1.0 - u_sq * jnp.float32(1.5)
+
+    s0 = load(0)
+    store(
+        0,
+        jnp.where(
+            ob, s0,
+            (jnp.float32(lattice.W[0]) * omega) * rho * base + om1 * s0,
+        ),
+    )
+
+    def pair(kk, cu):
+        ko = int(lattice.OPP[kk])
+        sk, sko = load(kk), load(ko)
+        tw = (jnp.float32(lattice.W[kk]) * omega) * rho
+        even = base + (cu * cu) * jnp.float32(4.5)
+        odd = cu * jnp.float32(3.0)
+        store(kk, jnp.where(ob, sko, tw * (even + odd) + om1 * sk))
+        store(ko, jnp.where(ob, sk, tw * (even - odd) + om1 * sko))
+
+    pair(1, u_x)
+    pair(2, u_y)
+    pair(5, u_x + u_y)
+    pair(8, u_x - u_y)
+    return u_sq
+
+
 def lean_window_step(src, dst, w_obst, accel_T, params: LBMParams, T: int, nx: int):
     """One liveness-lean force+stream+collide step over a full (T, nx)
     window: each plane is forced and pull-rolled straight from ``src[kk]``
@@ -123,8 +172,6 @@ def lean_window_step(src, dst, w_obst, accel_T, params: LBMParams, T: int, nx: i
 
     zero = jnp.float32(0.0)
     w1a, w2a = params.accel_w1, params.accel_w2
-    omega = params.omega_f32
-    om1 = jnp.float32(1.0) - omega
     deltas = {1: w1a, 5: w2a, 8: w2a, 3: -w1a, 6: -w2a, 7: -w2a}
 
     ok = (
@@ -148,35 +195,13 @@ def lean_window_step(src, dst, w_obst, accel_T, params: LBMParams, T: int, nx: i
         dst[kk] = plane
 
     # phase B: moments + pairwise BGK + bounce-back, in place on dst
-    rho = dst[0]
-    for kk in range(1, lattice.NSPEEDS):
-        rho = rho + dst[kk]
-    inv_rho = 1.0 / rho
-    u_x = (dst[1] + dst[5] + dst[8] - dst[3] - dst[6] - dst[7]) * inv_rho
-    u_y = (dst[2] + dst[5] + dst[6] - dst[4] - dst[7] - dst[8]) * inv_rho
-    u_sq = u_x * u_x + u_y * u_y
-    base = 1.0 - u_sq * jnp.float32(1.5)
+    def load(kk):
+        return dst[kk]
 
-    s0 = dst[0]
-    dst[0] = jnp.where(
-        w_obst, s0,
-        (jnp.float32(lattice.W[0]) * omega) * rho * base + om1 * s0,
-    )
+    def store(kk, v):
+        dst[kk] = v
 
-    def pair(kk, cu):
-        ko = int(lattice.OPP[kk])
-        sk, sko = dst[kk], dst[ko]
-        tw = (jnp.float32(lattice.W[kk]) * omega) * rho
-        even = base + (cu * cu) * jnp.float32(4.5)
-        odd = cu * jnp.float32(3.0)
-        dst[kk] = jnp.where(w_obst, sko, tw * (even + odd) + om1 * sk)
-        dst[ko] = jnp.where(w_obst, sk, tw * (even - odd) + om1 * sko)
-
-    pair(1, u_x)
-    pair(2, u_y)
-    pair(5, u_x + u_y)
-    pair(8, u_x - u_y)
-    return u_sq
+    return _collide_window_inplace(load, store, w_obst, params)
 
 
 def lean_window_step_rows(
@@ -210,8 +235,6 @@ def lean_window_step_rows(
     n = hi - lo
     zero = jnp.float32(0.0)
     w1a, w2a = params.accel_w1, params.accel_w2
-    omega = params.omega_f32
-    om1 = jnp.float32(1.0) - omega
     deltas = {1: w1a, 5: w2a, 8: w2a, 3: -w1a, 6: -w2a, 7: -w2a}
 
     # forcing guard on the SOURCE rows any plane may pull: [lo-1, hi+1)
@@ -237,38 +260,11 @@ def lean_window_step_rows(
 
     # phase B: moments + pairwise BGK + bounce-back on the subwindow
     ob = jax.lax.slice_in_dim(w_obst, lo, hi, axis=0)
-    rho = dst[0, lo:hi, :]
-    for kk in range(1, lattice.NSPEEDS):
-        rho = rho + dst[kk, lo:hi, :]
-    inv_rho = 1.0 / rho
-    u_x = (
-        dst[1, lo:hi, :] + dst[5, lo:hi, :] + dst[8, lo:hi, :]
-        - dst[3, lo:hi, :] - dst[6, lo:hi, :] - dst[7, lo:hi, :]
-    ) * inv_rho
-    u_y = (
-        dst[2, lo:hi, :] + dst[5, lo:hi, :] + dst[6, lo:hi, :]
-        - dst[4, lo:hi, :] - dst[7, lo:hi, :] - dst[8, lo:hi, :]
-    ) * inv_rho
-    u_sq = u_x * u_x + u_y * u_y
-    base = 1.0 - u_sq * jnp.float32(1.5)
 
-    s0 = dst[0, lo:hi, :]
-    dst[0, lo:hi, :] = jnp.where(
-        ob, s0,
-        (jnp.float32(lattice.W[0]) * omega) * rho * base + om1 * s0,
-    )
+    def load(kk):
+        return dst[kk, lo:hi, :]
 
-    def pair(kk, cu):
-        ko = int(lattice.OPP[kk])
-        sk, sko = dst[kk, lo:hi, :], dst[ko, lo:hi, :]
-        tw = (jnp.float32(lattice.W[kk]) * omega) * rho
-        even = base + (cu * cu) * jnp.float32(4.5)
-        odd = cu * jnp.float32(3.0)
-        dst[kk, lo:hi, :] = jnp.where(ob, sko, tw * (even + odd) + om1 * sk)
-        dst[ko, lo:hi, :] = jnp.where(ob, sk, tw * (even - odd) + om1 * sko)
+    def store(kk, v):
+        dst[kk, lo:hi, :] = v
 
-    pair(1, u_x)
-    pair(2, u_y)
-    pair(5, u_x + u_y)
-    pair(8, u_x - u_y)
-    return u_sq
+    return _collide_window_inplace(load, store, ob, params)

@@ -74,7 +74,10 @@ def _pick_tile_rows(ny: int, nx: int) -> int | None:
     if override:
         ty = int(override)
         return ty if ny % ty == 0 and ty % 8 == 0 else None
-    for ty in (256, 192, 128, 96, 64, 48, 32, 24, 16):
+    # ty=8 (= K) is the last resort: legal (the contract is ty >= K) and
+    # needed for the thinnest shard slabs (ly=8 on wide meshes), but any
+    # larger divisor wins first — at ty=8 the seam recompute is 2K/ty=2x.
+    for ty in (256, 192, 128, 96, 64, 48, 32, 24, 16, 8):
         if ny % ty:
             continue
         t = ty + 2 * K

@@ -317,6 +317,20 @@ def _local_pallas_ca_steps(
     return f_next, jax.lax.psum(tots, axis) / n_fluid
 
 
+def _stream_compiled_supported(ly: int, nx: int) -> bool:
+    """Can a COMPILED (non-interpret) stream window kernel run a
+    (ly, nx) shard here?  pallas_stream.window_supported covers the
+    structural tiling; the platform half lives at this call site because
+    interpret mode legitimately runs the same kernel anywhere."""
+    from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+    return on_tpu and pallas_stream.window_supported(ly, nx)
+
+
 def make_sharded_runner(
     mesh: Mesh,
     params: LBMParams,
@@ -362,6 +376,19 @@ def make_sharded_runner(
         ca_steps = pallas_stream.K
         if collect_density:
             kernel = "jnp"  # debug fallback (per-step densities)
+        elif not interpret:
+            # window_supported is platform-agnostic by design (interpret
+            # mode runs anywhere); a compiled run needs the TPU check the
+            # pallas branch gets from pallas_local.supported, or Mosaic
+            # dies with an opaque lowering error instead of this
+            ly = params.ny // mesh.devices.size
+            if not _stream_compiled_supported(ly, params.nx):
+                raise ValueError(
+                    f"{ly}x{params.nx} shard window not runnable by the "
+                    "stream kernel (TPU backend, lane-aligned nx, "
+                    f"8-multiple slab >= {pallas_stream.K} rows required); "
+                    "use kernel='jnp'/'pallas' or interpret=True"
+                )
 
     f_spec = P(None, axis, None)
     grid_spec = P(axis, None)
@@ -903,10 +930,28 @@ def prepare_sharded(
     n = mesh.devices.size
     if params.ny % n:
         raise ValueError(f"ny={params.ny} not divisible by {n} devices")
-    if ca_steps > 1 and params.ny // n < 2 * ca_steps:
+    # the thin-slab gate must see the EFFECTIVE schedule, mirroring
+    # make_sharded_runner's stream normalization: explicit ca_steps=8
+    # with kernel='stream' is the same K=8 window schedule the default
+    # ca_steps=1 runs (gated by window_supported, ly >= K), while the
+    # stream debug fallback really does run the jnp CA path at K=8 and
+    # needs its 2K ghost-zone slab
+    eff_kernel, eff_ca = kernel, ca_steps
+    if kernel == "stream":
+        from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+        if ca_steps in (1, pallas_stream.K):
+            eff_ca = pallas_stream.K
+            eff_kernel = "jnp" if collect_density else "stream"
+        # else: make_sharded_runner raises the actionable error below
+    if (
+        eff_kernel != "stream"
+        and eff_ca > 1
+        and params.ny // n < 2 * eff_ca
+    ):
         raise ValueError(
             f"local slab ny/n={params.ny // n} too thin for "
-            f"ca_steps={ca_steps} ghost zones"
+            f"ca_steps={eff_ca} ghost zones"
         )
     return make_sharded_runner(
         mesh, params, n_iters, kernel=kernel, interpret=interpret,

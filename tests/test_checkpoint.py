@@ -26,10 +26,21 @@ class TestManager:
         f = np.random.RandomState(0).rand(9, 4, 8).astype(np.float32)
         av = np.float32([1e-5, 2e-5])
         mgr.save(2, f, av)
-        step, f2, av2 = mgr.latest()
+        step, f2, av2, dens = mgr.latest()
         assert step == 2
         np.testing.assert_array_equal(f2, f)
         np.testing.assert_array_equal(av2, av)
+        assert dens is None  # non-debug snapshot carries no densities
+
+    def test_save_load_densities(self, tmp_path):
+        mgr = CheckpointManager(tmp_path)
+        f = np.zeros((9, 2, 2), np.float32)
+        dens = np.float32([0.4, 0.4, 0.4])
+        mgr.save(3, f, np.zeros(3, np.float32), densities=dens)
+        step, _, _, dens2 = mgr.latest()
+        assert step == 3
+        np.testing.assert_array_equal(dens2, dens)
+        assert mgr.latest_step() == 3
 
     def test_prune_keeps_newest(self, tmp_path):
         mgr = CheckpointManager(tmp_path, keep=2)
@@ -52,9 +63,11 @@ class TestManager:
         newest = tmp_path / "step_00000004.npz"
         newest.write_bytes(newest.read_bytes()[:40])
         with pytest.warns(UserWarning, match="unreadable checkpoint"):
-            step, f2, av2 = mgr.latest()
+            step, f2, av2, _ = mgr.latest()
         assert step == 2
         np.testing.assert_array_equal(f2, f)
+        with pytest.warns(UserWarning, match="unreadable checkpoint"):
+            assert mgr.latest_step() == 2  # agrees with latest(), not steps()[-1]
 
     def test_all_corrupt_returns_none(self, tmp_path):
         mgr = CheckpointManager(tmp_path)
@@ -89,6 +102,40 @@ class TestResume:
         sim.run(n_iters=8, checkpoint_every=4, checkpoint_dir=ckdir)
         with pytest.raises(ValueError, match="beyond"):
             sim.run(n_iters=4, checkpoint_every=4, checkpoint_dir=ckdir, resume=True)
+
+    def test_debug_resume_densities_stay_aligned(self, sim, tmp_path):
+        """result.densities must be step-aligned with av_vels across a
+        resume: a debug snapshot stores the density history, and a
+        resumed debug run restores it (round-4 review finding — the
+        density stream used to start at the resume point, shifting every
+        printed '==timestep: N==' density to the wrong step)."""
+        ckdir = tmp_path / "ck"
+        sim.run(n_iters=8, checkpoint_every=4, checkpoint_dir=ckdir, debug=True)
+        resumed = sim.run(
+            n_iters=12, checkpoint_every=4, checkpoint_dir=ckdir,
+            resume=True, debug=True,
+        )
+        straight = sim.run(n_iters=12, debug=True)
+        assert resumed.densities.shape == resumed.av_vels.shape == (12,)
+        np.testing.assert_array_equal(resumed.densities, straight.densities)
+        np.testing.assert_array_equal(resumed.av_vels, straight.av_vels)
+
+    def test_debug_resume_from_nondebug_snapshot_pads_nan(self, sim, tmp_path):
+        """Resuming with --debug from a snapshot written WITHOUT --debug
+        can't recover the earlier densities — they must read NaN (honest
+        'not recorded'), never shift later segments' values earlier."""
+        ckdir = tmp_path / "ck"
+        sim.run(n_iters=8, checkpoint_every=4, checkpoint_dir=ckdir)
+        resumed = sim.run(
+            n_iters=12, checkpoint_every=4, checkpoint_dir=ckdir,
+            resume=True, debug=True,
+        )
+        straight = sim.run(n_iters=12, debug=True)
+        assert resumed.densities.shape == (12,)
+        assert np.isnan(resumed.densities[:8]).all()
+        np.testing.assert_array_equal(
+            resumed.densities[8:], straight.densities[8:]
+        )
 
 
 class TestCheckpointedSharded:
@@ -206,6 +253,19 @@ class TestCheckpointedPaddedTier:
                 checkpoint_dir=tmp_path / "ck",
             )
 
+    def test_non_k_multiple_tail_fails_before_compute(
+        self, padded_sim, tmp_path
+    ):
+        """A non-conforming TAIL segment (here 16+4 with every=16) must
+        fail during upfront runner construction — before the first
+        16-step segment burns minutes of device time (round-4 review
+        finding).  No snapshot on disk proves no segment executed."""
+        sim, _, _ = padded_sim
+        ckdir = tmp_path / "ck"
+        with pytest.raises(ValueError, match="n_iters % 8"):
+            sim.run(n_iters=20, checkpoint_every=16, checkpoint_dir=ckdir)
+        assert CheckpointManager(ckdir).steps() == []
+
 
 class TestCheckpointWarmup:
     def test_warmup_compiles_first_segment(self, sim):
@@ -241,3 +301,27 @@ class TestCheckpointWarmup:
         before = dict(sim._compiled)
         sim.warmup(n_iters=8, checkpoint_dir=ckdir, resume=True)
         assert sim._compiled == before  # nothing left to run -> no compile
+
+    def test_warmup_resume_skips_corrupt_newest(self, sim, tmp_path):
+        """warmup must resolve the resume point the way the run will
+        (latest readable snapshot), not via steps()[-1]: with a corrupt
+        newest snapshot the two disagree and warmup would pre-compile a
+        segment length the run never executes, landing the real compile
+        in the Compute phase (round-4 review finding)."""
+        ckdir = tmp_path / "ck"
+        mgr = CheckpointManager(ckdir)
+        f = np.zeros((9, 16, 32), np.float32)
+        mgr.save(2, f, np.zeros(2, np.float32))
+        mgr.save(10, f, np.zeros(10, np.float32))
+        bad = ckdir / "step_00000010.npz"
+        bad.write_bytes(bad.read_bytes()[:40])
+        with pytest.warns(UserWarning, match="unreadable checkpoint"):
+            sim.warmup(
+                n_iters=12, checkpoint_every=6, checkpoint_dir=ckdir,
+                resume=True,
+            )
+        # resume point is 2 (the readable snapshot): first segment is
+        # min(6, 12-2) = 6.  steps()[-1]=10 would have warmed a 2-step
+        # segment instead.
+        assert (6, False) in sim._compiled
+        assert (2, False) not in sim._compiled

@@ -415,7 +415,7 @@ class TestStreamKernelSharded:
         mask[30:34, 40:80] = True
         return params, mask
 
-    @pytest.mark.parametrize("n_devices", [2, 4])
+    @pytest.mark.parametrize("n_devices", [2, 4, 8])  # 8 -> ly=8, ty=K
     def test_matches_oracle(self, n_devices):
         params, mask = self._deck(48)
         obst = jnp.asarray(mask)
@@ -461,6 +461,34 @@ class TestStreamKernelSharded:
                 n_devices=2, kernel="stream", ca_steps=4, interpret=True,
             )
 
+    def test_explicit_ca_steps_8_equals_default(self):
+        """ca_steps=8 is documented as valid with kernel='stream' (it IS
+        the schedule) — the thin-slab gate must not reject it where the
+        identical default-ca_steps run passes (round-4 review finding:
+        ly=8 slabs tripped the jnp-CA 2K check on the explicit spelling)."""
+        params, mask = self._deck(16)  # ny=64 / 8 devices -> ly=8 < 2K
+        obst = jnp.asarray(mask)
+        f_d, av_d = halo.run_sharded(
+            reference.initial_state(params), obst, params,
+            n_devices=8, kernel="stream", interpret=True,
+        )
+        f_e, av_e = halo.run_sharded(
+            reference.initial_state(params), obst, params,
+            n_devices=8, kernel="stream", ca_steps=8, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(f_e), np.asarray(f_d))
+        np.testing.assert_array_equal(np.asarray(av_e), np.asarray(av_d))
+
+    def test_compiled_off_tpu_fails_actionably(self):
+        """A compiled (non-interpret) stream-kernel run off-TPU must die
+        with the actionable ValueError the pallas branch gets, not an
+        opaque Mosaic lowering error (round-4 review finding)."""
+        params, mask = self._deck(16)
+        with pytest.raises(ValueError, match="stream kernel"):
+            halo.prepare_sharded(
+                params, 16, n_devices=2, kernel="stream",
+            )
+
     def test_2d_mesh_raises(self):
         params, mask = self._deck(16)
         with pytest.raises(ValueError, match="unsharded periodic x"):
@@ -500,15 +528,20 @@ class TestStreamKernelSharded:
         import advanced_hpc_lbm_tpu.ops.pallas_stream as ps
 
         orig = ps.window_ca_steps
+        orig_gate = _halo._stream_compiled_supported
         try:
             ps.window_ca_steps = lambda w, m, p, *, interpret=False: orig(
                 w, m, p, interpret=True
             )
+            # the platform gate would (correctly) reject a compiled
+            # stream run on this CPU host; the shim above interprets
+            _halo._stream_compiled_supported = lambda ly, nx: True
             sharded = Simulation(params, mask, backend="fused").run(
                 n_iters=16, devices=2, shard_kernel="stream"
             )
         finally:
             ps.window_ca_steps = orig
+            _halo._stream_compiled_supported = orig_gate
         single = Simulation(params, mask, backend="fused").run(n_iters=16)
         np.testing.assert_allclose(
             sharded.av_vels, single.av_vels, rtol=5e-4
