@@ -114,7 +114,11 @@ def check_av_vels_only(
 
 def _main(argv: list[str]) -> int:
     p = argparse.ArgumentParser(
-        description="Validation checker (port of the reference check.py)"
+        description="Validation checker (port of the reference check.py)",
+        # same argv ergonomics as the original InputParser
+        # (check/check.py:12-16): @argfile expansion + defaults in --help
+        fromfile_prefix_chars="@",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     p.add_argument("--tolerance", nargs=1, default=[1.0], type=float)
     p.add_argument("--ref-av-vels-file", nargs=1, required=True)

@@ -61,3 +61,32 @@ def test_same_verdict_and_exit_code(tmp_path, scale, expect_pass):
     # the whole report is byte-identical (incl. the "at coord (jj,ii)"
     # final-state locator, check/check.py:121-127)
     assert out_ours == out_orig
+
+
+@requires_reference
+def test_argfile_invocation_matches_original(tmp_path):
+    """@argfile expansion (fromfile_prefix_chars, check/check.py:13): both
+    checkers accept their whole argv from a file and agree."""
+    rng = np.random.RandomState(1)
+    av = rng.uniform(1e-5, 1e-2, 20)
+    fs = rng.uniform(0.03, 0.04, 32)
+    ref_av, ref_fs = write_outputs(tmp_path, av, fs, "ref")
+    sim_av, sim_fs = write_outputs(tmp_path, av, fs, "sim")
+    argfile = tmp_path / "args.txt"
+    argfile.write_text(
+        f"--ref-av-vels-file={ref_av}\n"
+        f"--ref-final-state-file={ref_fs}\n"
+        f"--av-vels-file={sim_av}\n"
+        f"--final-state-file={sim_fs}\n"
+    )
+
+    proc_orig = subprocess.run(
+        [sys.executable, ORIG, f"@{argfile}"], capture_output=True, text=True
+    )
+    proc_ours = subprocess.run(
+        [sys.executable, "-m", "advanced_hpc_lbm_tpu.utils.check",
+         f"@{argfile}"],
+        capture_output=True, text=True,
+    )
+    assert proc_ours.returncode == proc_orig.returncode == 0
+    assert proc_ours.stdout == proc_orig.stdout
