@@ -391,6 +391,12 @@ def main(argv=None) -> int:
                 "value": round(glups, 4),
                 "unit": "GLUPS",
                 "vs_baseline": round(glups / BASELINE_GLUPS, 1),
+                # stability fields (VERDICT round-4 item 7): `value` stays
+                # the min-of-repeats headline, but round-over-round drift
+                # is only attributable with the spread alongside it
+                "best": round(glups, 4),
+                "median": round(glups_med, 4),
+                "repeats": len(times),
             }
         )
     )

@@ -161,6 +161,30 @@ def test_matrix_fails_when_best_resolves_to_fused_on_tpu(monkeypatch, capsys):
     assert "fused" in line["error"]
 
 
+def test_headline_json_carries_stability_fields(monkeypatch, capsys):
+    """The headline line keeps `value` (the driver's contract) and adds
+    best/median/repeats so round-over-round drift is attributable
+    (VERDICT round-4 item 7)."""
+    import json
+
+    monkeypatch.setattr(bench, "wait_for_device", lambda *a, **k: ["dev"])
+    monkeypatch.setattr(
+        bench, "measure",
+        lambda size, iters, backend, repeats: (
+            28.0, 27.5, "resident", [0.75, 0.76, 0.77],
+        ),
+    )
+    rc = bench.main(["--iters", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1  # stdout stays one JSON line
+    line = json.loads(out[0])
+    assert line["value"] == line["best"] == 28.0
+    assert line["median"] == 27.5
+    assert line["repeats"] == 3
+    assert line["unit"] == "GLUPS"
+
+
 def test_matrix_huge_entries_are_stream_tier_sizes(tpu_like):
     """The huge gate guards the stream tiers specifically — if auto-select
     ever stops routing those sizes to 'stream', the guard is meaningless."""
