@@ -61,11 +61,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="fail loudly if the run produced NaN/Inf (numerical sanitizer)",
     )
     p.add_argument(
-        "--shard-kernel", default="jnp", choices=["jnp", "pallas", "stream"],
-        help="local-step implementation for --backend sharded: jnp "
-             "(XLA-fused), pallas (Mosaic VMEM-window kernel), stream "
-             "(HBM-streaming manual-DMA kernel, K=8 steps/exchange — for "
-             "shards whose slab exceeds the VMEM-window sizes)",
+        "--shard-kernel", default="auto",
+        choices=["auto", "jnp", "pallas", "stream"],
+        help="local-step implementation for --backend sharded: auto "
+             "(default — the measured ladder, parallel/halo."
+             "resolve_shard_kernel: stream for DMA-bound slabs, pallas "
+             "for VMEM-window slabs, else jnp), jnp (XLA-fused), pallas "
+             "(Mosaic VMEM-window kernel), stream (HBM-streaming "
+             "manual-DMA kernel, K=8 steps/exchange — for shards whose "
+             "slab exceeds the VMEM-window sizes)",
     )
     p.add_argument(
         "--mesh", default=None, metavar="MYxMX",
@@ -78,6 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
              "(communication-avoiding ghost zones; 1-D ring or 2-D torus; "
              "with --shard-kernel pallas the Mosaic CA window kernel, "
              "VMEM-gated, 1-D only)",
+    )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="force jax.distributed.initialize() (multi-host process "
+             "group).  Normally auto-detected from the environment "
+             "(JAX_COORDINATOR_ADDRESS, Slurm multi-task envs, TPU pod "
+             "metadata — parallel/multihost.py); outputs are written by "
+             "process 0 only",
     )
     return p
 
@@ -111,7 +123,16 @@ def _run_sim(sim: Simulation, args):
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from advanced_hpc_lbm_tpu.parallel import multihost
     from advanced_hpc_lbm_tpu.utils import cache
+
+    # must precede the first device query of the process: on a pod slice
+    # (or Slurm multi-rank launch) this forms the jax.distributed process
+    # group, after which jax.devices() is the GLOBAL device list and the
+    # mesh builders/shard_map runners work unchanged.  Single-process
+    # environments: a no-op.
+    multihost.maybe_initialize(force=args.multihost)
+    primary = multihost.is_primary()
 
     cache.enable()
     timers = PhaseTimers()
@@ -175,7 +196,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"Error: {e}", file=sys.stderr)
             return 1
 
-    if args.debug:
+    if args.debug and primary:
         if result.densities is None:
             # defensive: every backend (incl. sharded, which psums the
             # per-step density through the scan) streams densities in
@@ -195,11 +216,15 @@ def main(argv: list[str] | None = None) -> int:
     # (d2q9-bgk.c:213-217), so this stays untimed
     reynolds = result.reynolds
 
-    print("==done==")
-    print(f"Reynolds number:\t\t{reynolds:.12E}")
-    for line in timers.report_lines():
-        print(line)
-    result.write(args.out_dir)
+    # one process speaks and writes — the reference's rank-0 collate+write
+    # intent (d2q9-bgk.c:208-222) on a multi-host launch; single-process
+    # runs are always primary
+    if primary:
+        print("==done==")
+        print(f"Reynolds number:\t\t{reynolds:.12E}")
+        for line in timers.report_lines():
+            print(line)
+        result.write(args.out_dir)
     return 0
 
 

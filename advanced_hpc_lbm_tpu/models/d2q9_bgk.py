@@ -28,6 +28,18 @@ Backend = Literal[
 ]
 
 
+def _to_host(x) -> np.ndarray:
+    """Host materialization that also works on a multi-host launch: a
+    global array some of whose shards live on other hosts' devices cannot
+    be device_get directly — every process allgathers it instead
+    (parallel/multihost.py; single-process arrays take the direct path)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
 @dataclasses.dataclass
 class SimulationResult:
     """Host-side results of one run."""
@@ -87,10 +99,10 @@ class SimulationResult:
         compute: ``Simulation.run(fetch=False)`` leaves results on device
         so the CLI can time this separately, like the reference's timer
         split.  Idempotent; applies a deferred ``check_finite``."""
-        self.f_final = np.asarray(jax.device_get(self.f_final))
-        self.av_vels = np.asarray(jax.device_get(self.av_vels))
+        self.f_final = _to_host(self.f_final)
+        self.av_vels = _to_host(self.av_vels)
         if self.densities is not None:
-            self.densities = np.asarray(jax.device_get(self.densities))
+            self.densities = _to_host(self.densities)
         if self._check_finite_pending:
             self._check_finite_pending = False
             Simulation._assert_finite(self)
@@ -238,6 +250,16 @@ class Simulation:
                 self.backend = backend = "pallask"
             elif pallas_step.supported(ny, nx):
                 self.backend = backend = "pallas"
+            elif pallas_stream.supported_any(ny, nx) and (
+                hbm is None
+                or pallas_stream.any_tier_bytes(ny, nx) <= 0.9 * hbm
+            ):
+                # non-lane-aligned decks (the reference's loader is
+                # shape-agnostic, d2q9-bgk.c:2736-2747): the ghost-padded
+                # window embedding runs the streaming kernel on ANY shape
+                # >= the minimum window geometry instead of silently
+                # dropping ~10x to the jnp path (VERDICT round-4 item 4)
+                self.backend = backend = "stream"
             else:
                 self.backend = backend = "fused"
         if backend in ("resident", "pallas2", "pallask", "stream"):
@@ -285,10 +307,23 @@ class Simulation:
             from advanced_hpc_lbm_tpu.ops import pallas_stream
 
             if not pallas_stream.supported(self.params.ny, self.params.nx):
+                if pallas_stream.supported_any(
+                    self.params.ny, self.params.nx
+                ):
+                    # non-lane-aligned deck: the ghost-padded window
+                    # embedding (ops.pallas_stream.run_any) — same kernel,
+                    # true grid framed by wrap ghosts, exact own region
+                    return jax.jit(
+                        lambda f, o: pallas_stream.run_any(
+                            f, o, self.params, n_iters=iters
+                        ),
+                        donate_argnums=0,
+                    )
                 raise ValueError(
                     f"grid {self.params.ny}x{self.params.nx} not tileable "
                     "for the streaming kernel (TPU, lane-aligned nx, "
-                    "8-multiple ny required)"
+                    "8-multiple ny required — nor for its arbitrary-shape "
+                    "window embedding, which needs ny >= 16 / nx >= 112)"
                 )
             # always the in-place (aliased, single-buffer) scan: measured
             # FASTER than the two-buffer form at 8192² (16.46 vs 16.22
@@ -399,8 +434,17 @@ class Simulation:
             # 2x-state jit form doesn't fit).  With debug the runner
             # falls back to the fused 3x-state path (per-step densities
             # need the scan), so gate on THAT requirement instead
-            # (ADVICE round 3)
-            need = padded_tier_bytes(self.params.ny, self.params.nx)
+            # (ADVICE round 3).  Non-lane-aligned decks run the
+            # arbitrary-shape window embedding, whose peak is two
+            # ping-pong windows instead
+            from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+            if pallas_stream.supported(self.params.ny, self.params.nx):
+                need = padded_tier_bytes(self.params.ny, self.params.nx)
+            else:
+                need = pallas_stream.any_tier_bytes(
+                    self.params.ny, self.params.nx
+                )
         else:
             need = 3 * state  # in+out scan buffers + one transient copy
         if need > 0.9 * hbm:
@@ -484,11 +528,25 @@ class Simulation:
         streams per-step total densities through the sharded scan (one
         extra psum'd scalar — the reference's #ifdef DEBUG output mode,
         d2q9-bgk.c:196-200, on the distributed path)."""
+        from advanced_hpc_lbm_tpu.parallel import halo
+
+        if shard_kernel == "auto":
+            # resolve here (not just inside prepare_*) so the cache key
+            # carries the CONCRETE kernel — warmup("auto") and a later
+            # run with the matching explicit kernel share one executable
+            if mesh is not None:
+                shard_kernel = halo.resolve_shard_kernel(
+                    self.params, mesh_shape=mesh, ca_steps=ca_steps
+                )
+            else:
+                n = devices if devices is not None else len(jax.devices())
+                shard_kernel = halo.resolve_shard_kernel(
+                    self.params, n_devices=n, ca_steps=ca_steps
+                )
         key = ("sharded", iters, devices, shard_kernel, mesh, ca_steps, debug)
         cached = self._compiled.get(key)
         if cached is not None:
             return cached
-        from advanced_hpc_lbm_tpu.parallel import halo
 
         if mesh is not None:
             pair = halo.prepare_sharded_2d(
@@ -509,7 +567,7 @@ class Simulation:
         n_iters: int | None = None,
         debug: bool = False,
         devices: int | None = None,
-        shard_kernel: str = "jnp",
+        shard_kernel: str = "auto",
         mesh: tuple[int, int] | None = None,
         ca_steps: int = 1,
         checkpoint_every: int | None = None,
@@ -608,7 +666,7 @@ class Simulation:
         checkpoint_dir: str | os.PathLike = "checkpoints",
         resume: bool = False,
         check_finite: bool = False,
-        shard_kernel: str = "jnp",
+        shard_kernel: str = "auto",
         mesh: tuple[int, int] | None = None,
         ca_steps: int = 1,
         fetch: bool = True,
@@ -736,7 +794,7 @@ class Simulation:
         *,
         debug: bool = False,
         devices: int | None = None,
-        shard_kernel: str = "jnp",
+        shard_kernel: str = "auto",
         mesh: tuple[int, int] | None = None,
         ca_steps: int = 1,
     ) -> SimulationResult:

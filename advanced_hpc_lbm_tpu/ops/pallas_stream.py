@@ -164,15 +164,23 @@ def _kernel(
                 egress_main(i - 1, pother, so_other).start()
 
         # the mask plane is ENCODED (encode_masks): +1 obstacle, +2
-        # forcing row — decoded with f32 compares (int-born bools hit
-        # Mosaic relayout errors, CLAUDE.md).  Carrying the forcing rows
-        # as data instead of iota row-ids is what lets the SAME kernel
-        # run both the periodic single-chip state (forcing at global row
-        # ny-2, incl. its pad images) and a ring-exchanged shard window
-        # (forcing wherever the shard's slice of the global mask says).
+        # forcing row, +4 reduction-excluded — decoded with f32 compares
+        # (int-born bools hit Mosaic relayout errors, CLAUDE.md).
+        # Carrying the forcing rows as data instead of iota row-ids is
+        # what lets the SAME kernel run both the periodic single-chip
+        # state (forcing at global row ny-2, incl. its pad images) and a
+        # ring-exchanged shard window (forcing wherever the shard's slice
+        # of the global mask says).  The +4 flag (x-ghost columns of a
+        # 2-D torus shard window, window_ca_steps_2d) keeps TRUE dynamics
+        # for those cells — the x-neighbor's obstacle/forcing bits ride
+        # in the low bits — but masks them out of the ||u|| reduction:
+        # they are the x-neighbor's own (already-counted) cells and turn
+        # to trapezoid garbage near the window edge.
         m = mbuf[...]
+        excl = m >= 4.0
+        m = m - jnp.where(excl, jnp.float32(4.0), zero)
         w_obst = (m == 1.0) | (m == 3.0)
-        obst_main = w_obst[K : K + ty, :]
+        obst_main = (w_obst | excl)[K : K + ty, :]
         accel_T = m >= 2.0
 
         def step(s, src, dst):
@@ -484,6 +492,294 @@ def window_ca_steps(
     call = _build_call(params, ly, nx, ty, interpret, False)
     out_pad, tots = call(window, masks_enc_ext)
     return unpad_state(out_pad), jnp.sum(tots, axis=0)
+
+
+# x-ghost width for 2-D-torus shard windows (window_ca_steps_2d).  Must be
+# >= K (in-kernel x rolls wrap at the WINDOW width, so edge garbage grows
+# one column per step and reaches depth K-1 by the last step) and keep the
+# window lane-aligned: lx % 128 == 0  =>  lx + 2*64 % 128 == 0.  64 is the
+# smallest such value; the extra wire bytes (64 vs 8 columns per exchange)
+# are row-slab-sized and amortized over K=8 steps.
+X_GHOST = 64
+
+
+def window_supported_2d(ly: int, lx: int) -> bool:
+    """Structural tileability of a 2-D-torus shard window: the (ly, lx)
+    own block extended by ±K ghost rows and ±X_GHOST ghost columns."""
+    return lx % _LANE == 0 and window_supported(ly, lx + 2 * X_GHOST)
+
+
+def mark_reduction_excluded(enc: jax.Array, excl: jax.Array) -> jax.Array:
+    """Set the +4 reduction-exclude flag of an encoded mask plane (the
+    kernel keeps the cells' true dynamics — obstacle/forcing low bits —
+    but drops them from the per-step ||u|| partial sums)."""
+    return enc + 4.0 * excl.astype(enc.dtype)
+
+
+def window_ca_steps_2d(
+    window: jax.Array,
+    masks_enc_ext: jax.Array,
+    params: LBMParams,
+    *,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Advance a ±K-row/±X_GHOST-column ghost-extended 2-D-torus shard
+    block K=8 steps — the x-sharded composition of :func:`window_ca_steps`
+    that lifts the wide-grid ceiling (a full-nx row slab caps nx at ~33k,
+    VERDICT round-4 missing #3; SURVEY §5 "x-axis ... sharded too, with
+    column halos").
+
+    The kernel body is unchanged: its in-window x rolls wrap at the
+    window width, so the wrap seam's garbage grows inward one column per
+    step from each window EDGE — after K steps it reaches depth K-1 < 64,
+    never touching the own columns [X_GHOST, X_GHOST+lx).  The ghost
+    columns carry the x-neighbor's true mask bits (correct inflow
+    dynamics for the early steps) plus the +4 reduction-exclude flag so
+    their — neighbor-owned, eventually-garbage — cells never enter this
+    shard's ||u|| partial sums.
+
+    Args:
+      window: (9, ly+2K, lx+2*X_GHOST) — own block plus ring-exchanged
+        ghost rows THEN ghost columns of the row-extended array (the
+        corner-carrying two-phase order, parallel/halo.py).
+      masks_enc_ext: same-extended encoded mask plane with the ghost
+        columns +4-flagged (mark_reduction_excluded); loop-invariant.
+
+    Returns (f_own (9, ly, lx), tots (K,)) per-step ||u|| partial sums
+    over the shard's own fluid cells.
+    """
+    _, r, wnx = window.shape
+    ly = r - 2 * K
+    lx = wnx - 2 * X_GHOST
+    if not window_supported_2d(ly, lx):
+        raise ValueError(
+            f"shard block {ly}x{lx} not tileable for the 2-D streaming "
+            "window kernel (lane-aligned lx, 8-multiple ly required)"
+        )
+    ty = _pick_tile_rows(ly, wnx)
+    call = _build_call(params, ly, wnx, ty, interpret, False)
+    out_pad, tots = call(window, masks_enc_ext)
+    return (
+        out_pad[:, K : K + ly, X_GHOST : X_GHOST + lx],
+        jnp.sum(tots, axis=0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-shape decks (VERDICT round-4 missing #2 / next-round item 4).
+#
+# Every Mosaic tier needs nx % 128 == 0 and ny % 8 == 0; the reference's C
+# loops are shape-agnostic (d2q9-bgk.c:2736-2747 reads two ints, every loop
+# is generic), so a 1000x1000 user deck used to drop silently to the jnp
+# `fused` path at a fraction of the throughput.  This tier runs ANY
+# (ny, nx) >= the minimum window geometry through the unchanged streaming
+# kernel by embedding the true grid in a ghost-padded window:
+#
+#   rows:  ly = roundup(ny, 8); the p = ly - ny pad rows sit at the bottom
+#          of the own region carrying IMAGES of true rows [0, p) — with the
+#          bottom ghost carrying rows [p, p+K), every pad row's neighbor
+#          structure is exactly its image row's, so pad rows evolve as
+#          exact copies (never garbage) and the usual ±K-ghost window
+#          argument covers the whole own region.
+#   cols:  wnx = roundup(nx + 2K, 128); left ghost gl = K columns of true
+#          wrap data, right ghost gr = wnx - nx - K >= K columns starting
+#          with true wrap data.  The kernel's in-window x-roll wraps at
+#          wnx, so edge garbage grows one column per step and reaches
+#          depth K-1 < gl (and < gr) after the K steps of a pass — the
+#          own columns [gl, gl+nx) stay exact (the same containment proof
+#          as window_ca_steps_2d's X_GHOST).
+#
+# Pad rows and ghost columns ride the +4 reduction-exclude mask flag, so
+# the per-step ||u|| sums count true fluid cells exactly once.  Between
+# passes the ghosts are REBUILT from the just-computed exact own region by
+# small in-place updates (rows: 2K+p full-width rows; cols: gl+gr full-
+# height columns) instead of reassembling the window — the scan carry
+# stays at the window shape and HBM traffic stays ~2 state accesses per
+# pass like the aligned tier.
+# ---------------------------------------------------------------------------
+
+
+def any_geometry(ny: int, nx: int) -> tuple[int, int, int, int, int]:
+    """(ly, p, wnx, gl, gr) of the ghost-padded window embedding an
+    arbitrary (ny, nx) grid (see module comment above)."""
+    ly = -(-ny // 8) * 8
+    p = ly - ny
+    wnx = -(-(nx + 2 * K) // _LANE) * _LANE
+    gl = K
+    gr = wnx - nx - gl
+    return ly, p, wnx, gl, gr
+
+
+def window_supported_any(ny: int, nx: int) -> bool:
+    """Platform-free geometry gate for the arbitrary-shape tier: the wrap
+    slices must fit inside one period (ny >= p+K rows, nx >= gr columns)
+    and the padded window must tile."""
+    ly, p, wnx, gl, gr = any_geometry(ny, nx)
+    return ny >= p + K and ny >= 2 * K and nx >= gr and window_supported(ly, wnx)
+
+
+def supported_any(ny: int, nx: int) -> bool:
+    """TPU-platform + geometry gate (mirrors :func:`supported`)."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+    return on_tpu and window_supported_any(ny, nx)
+
+
+def any_tier_bytes(ny: int, nx: int) -> int:
+    """Device HBM the arbitrary-shape runner needs: two ping-pong window
+    buffers + the f32 mask window + the unpadded f0/result."""
+    ly, _, wnx, _, _ = any_geometry(ny, nx)
+    t = ly + 2 * K
+    return 2 * 9 * t * wnx * 4 + t * wnx * 4 + 9 * ny * nx * 4
+
+
+def _extend_any(x: jax.Array, ny: int, nx: int, row_axis: int):
+    """Embed a true-grid array in the ghost-padded window: wrap rows
+    (top ghost K = true rows [ny-K, ny); bottom ghost+pad p+K = true rows
+    [0, p+K)) then wrap columns of the row-extended array (the corner-
+    carrying order, same as the two-phase torus exchange)."""
+    ly, p, wnx, gl, gr = any_geometry(ny, nx)
+    del ly, wnx
+    ca = row_axis + 1
+    rows = jnp.concatenate(
+        [
+            jax.lax.slice_in_dim(x, ny - K, ny, axis=row_axis),
+            x,
+            jax.lax.slice_in_dim(x, 0, p + K, axis=row_axis),
+        ],
+        axis=row_axis,
+    )
+    return jnp.concatenate(
+        [
+            jax.lax.slice_in_dim(rows, nx - gl, nx, axis=ca),
+            rows,
+            jax.lax.slice_in_dim(rows, 0, gr, axis=ca),
+        ],
+        axis=ca,
+    )
+
+
+def prepare_masks_any(obstacles: jax.Array, params: LBMParams) -> jax.Array:
+    """Ghost-extended encoded mask window (loop-invariant): true-grid
+    encode (+1 obstacle, +2 forcing row ny-2), wrap-extended like the
+    state so ghost cells keep TRUE dynamics, then everything outside the
+    true own region +4-flagged out of the ||u|| reduction (pad-row images
+    and ghost columns are already-counted cells)."""
+    ny, nx = params.ny, params.nx
+    ly, p, wnx, gl, gr = any_geometry(ny, nx)
+    del p, gr
+    accel_rows = jnp.zeros(ny, bool).at[ny - 2].set(True)
+    enc = encode_masks(obstacles, accel_rows)
+    enc_ext = _extend_any(enc, ny, nx, row_axis=0)
+    rows_w = jnp.arange(ly + 2 * K)[:, None]
+    cols_w = jnp.arange(wnx)[None, :]
+    excl = (
+        (rows_w < K)
+        | (rows_w >= K + ny)
+        | (cols_w < gl)
+        | (cols_w >= gl + nx)
+    )
+    return mark_reduction_excluded(enc_ext, excl)
+
+
+def _rebuild_ghosts_any(out: jax.Array, ny: int, nx: int) -> jax.Array:
+    """Overwrite a pass output's ghost regions from its exact own region,
+    making it a valid next-pass window: rows first (full width — their
+    own-column range is exact), then columns for ALL rows (sources lie in
+    the true column range, already rewritten row-wise)."""
+    _, p, wnx, gl, gr = any_geometry(ny, nx)
+    del wnx
+    out = out.at[:, 0:K, :].set(
+        jax.lax.slice_in_dim(out, ny, ny + K, axis=1)
+    )
+    out = out.at[:, K + ny : K + ny + p + K, :].set(
+        jax.lax.slice_in_dim(out, K, K + p + K, axis=1)
+    )
+    out = out.at[:, :, 0:gl].set(
+        jax.lax.slice_in_dim(out, nx, nx + gl, axis=2)
+    )
+    out = out.at[:, :, gl + nx : gl + nx + gr].set(
+        jax.lax.slice_in_dim(out, gl, gl + gr, axis=2)
+    )
+    return out
+
+
+def ca_steps_any(
+    window: jax.Array,
+    masks_enc_ext: jax.Array,
+    params: LBMParams,
+    *,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Advance the ghost-padded window of an arbitrary-shape grid K=8
+    steps and rebuild its ghosts: (window', tots (K,)) with window' a
+    valid next-pass window whose own region is the exact advanced state."""
+    ny, nx = params.ny, params.nx
+    ly, p, wnx, gl, gr = any_geometry(ny, nx)
+    del p, gl, gr
+    if not window_supported_any(ny, nx):
+        raise ValueError(
+            f"grid {ny}x{nx} below the arbitrary-shape window tier's "
+            f"minimum geometry (ny >= 16, nx >= {_LANE - 2 * K} required)"
+        )
+    ty = _pick_tile_rows(ly, wnx)
+    call = _build_call(params, ly, wnx, ty, interpret, False)
+    out_pad, tots = call(window, masks_enc_ext)
+    return _rebuild_ghosts_any(out_pad, ny, nx), jnp.sum(tots, axis=0)
+
+
+def run_any(
+    f0: jax.Array,
+    obstacles: jax.Array,
+    params: LBMParams,
+    *,
+    n_iters: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Full loop for arbitrary (non-lane-aligned) grids: the true grid is
+    embedded ONCE in the ghost-padded window, scanned at K=8 steps per
+    streamed pass (two kernel calls per scan body — the copy-free carry
+    pattern, ops.fused.run_simulation), and the exact own region sliced
+    out at the end; a sub-K tail runs the jnp fused step on the true
+    grid.  Drop-in for ops.fused.run_simulation; wrap in jax.jit.
+    Reference parity: d2q9-bgk.c:2736-2747 (shape-agnostic loader) —
+    the tier that keeps odd user decks off the slow path."""
+    from advanced_hpc_lbm_tpu.ops import fused
+
+    ny, nx = params.ny, params.nx
+    iters = params.max_iters if n_iters is None else n_iters
+    n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
+    enc_ext = prepare_masks_any(obstacles, params)
+    ly, p, wnx, gl, gr = any_geometry(ny, nx)
+    del ly, p, wnx, gr
+
+    def one(w):
+        w2, tots = ca_steps_any(w, enc_ext, params, interpret=interpret)
+        return w2, tots / n_fluid
+
+    w = _extend_any(f0, ny, nx, row_axis=1)
+    done = iters - iters % K
+    av = jnp.zeros((0,), jnp.float32)
+    if done:
+        def body(w_c, _):
+            w1, av1 = one(w_c)
+            w2, av2 = one(w1)
+            return w2, jnp.concatenate([av1, av2])
+
+        w, av_chunks = jax.lax.scan(body, w, None, length=done // (2 * K))
+        av = av_chunks.reshape(-1)
+        if done % (2 * K):
+            w, av_mid = one(w)
+            av = jnp.concatenate([av, av_mid])
+    f = w[:, K : K + ny, gl : gl + nx]
+    if iters - done:
+        obst = (obstacles != 0)
+        for _ in range(iters - done):
+            f, av_last = fused.fused_step(f, obst, n_fluid, params)
+            av = jnp.concatenate([av, av_last[None]])
+    return f, av
 
 
 def multi_step(

@@ -54,6 +54,53 @@ def _masked_accelerate(f, obstacles, row_mask, w1, w2):
     return f + jnp.where(ok, delta, 0.0)
 
 
+def _stream_collide_rows(f_ext, obstacles_rows, params, m: int):
+    """Pull-stream + BGK collide the middle ``m`` output rows of a
+    (9, m+2, nx) window (one ghost/context row each side).  Elementwise
+    per row, so computing a slab in bands is bitwise-identical to
+    computing it whole — the property the overlapped step relies on."""
+    planes = []
+    for k in range(lattice.NSPEEDS):
+        cy, cx = int(lattice.CY[k]), int(lattice.CX[k])
+        rows = jax.lax.slice_in_dim(f_ext[k], 1 - cy, 1 - cy + m, axis=0)
+        planes.append(jnp.roll(rows, cx, axis=1))
+    streamed = jnp.stack(planes)
+
+    rho = jnp.sum(streamed, axis=0)
+    u_x = (streamed[1] + streamed[5] + streamed[8]
+           - (streamed[3] + streamed[6] + streamed[7])) / rho
+    u_y = (streamed[2] + streamed[5] + streamed[6]
+           - (streamed[4] + streamed[7] + streamed[8])) / rho
+    u_sq = u_x * u_x + u_y * u_y
+    cx_v = jnp.asarray(lattice.CX, f_ext.dtype)[:, None, None]
+    cy_v = jnp.asarray(lattice.CY, f_ext.dtype)[:, None, None]
+    w_v = jnp.asarray(lattice.W)[:, None, None]
+    cu = cx_v * u_x[None] + cy_v * u_y[None]
+    c_sq = lattice.C_SQ
+    feq = w_v * rho[None] * (
+        1.0 + cu / c_sq + (cu * cu) / (2.0 * c_sq * c_sq)
+        - u_sq[None] / (2.0 * c_sq)
+    )
+    relaxed = streamed + params.omega_f32 * (feq - streamed)
+    reflected = streamed[jnp.asarray(lattice.OPP)]
+    return jnp.where(obstacles_rows[None], reflected, relaxed)
+
+
+def _av_reduce(f_next, obstacles, n_fluid, axes):
+    """Post-collision ||u|| sum over local fluid cells, psum'd over the
+    mesh axes."""
+    rho2 = jnp.sum(f_next, axis=0)
+    v_x = (f_next[1] + f_next[5] + f_next[8]
+           - (f_next[3] + f_next[6] + f_next[7])) / rho2
+    v_y = (f_next[2] + f_next[5] + f_next[6]
+           - (f_next[4] + f_next[7] + f_next[8])) / rho2
+    norm = jnp.sqrt(v_x * v_x + v_y * v_y)
+    tot = jnp.sum(jnp.where(obstacles, 0.0, norm))
+    for ax in axes:
+        tot = jax.lax.psum(tot, ax)
+    return tot / n_fluid
+
+
 def _local_fused_step(f, obstacles, row_mask, n_fluid, params, axis: str):
     """One fused step on a local row slab, halo rows exchanged via ring
     ppermute over ``axis``."""
@@ -66,41 +113,49 @@ def _local_fused_step(f, obstacles, row_mask, n_fluid, params, axis: str):
     # neighbor above's FIRST row, delivered backward (_extend_rows).
     f_ext = _extend_rows(f, axis, 1, row_axis=1)
 
-    local_ny = f.shape[1]
-    planes = []
-    for k in range(lattice.NSPEEDS):
-        cy, cx = int(lattice.CY[k]), int(lattice.CX[k])
-        rows = jax.lax.slice_in_dim(f_ext[k], 1 - cy, 1 - cy + local_ny, axis=0)
-        planes.append(jnp.roll(rows, cx, axis=1))
-    streamed = jnp.stack(planes)
+    f_next = _stream_collide_rows(f_ext, obstacles, params, f.shape[1])
+    av = _av_reduce(f_next, obstacles, n_fluid, (axis,))
+    return f_next, av
 
-    rho = jnp.sum(streamed, axis=0)
-    u_x = (streamed[1] + streamed[5] + streamed[8]
-           - (streamed[3] + streamed[6] + streamed[7])) / rho
-    u_y = (streamed[2] + streamed[5] + streamed[6]
-           - (streamed[4] + streamed[7] + streamed[8])) / rho
-    u_sq = u_x * u_x + u_y * u_y
-    cx_v = jnp.asarray(lattice.CX, f.dtype)[:, None, None]
-    cy_v = jnp.asarray(lattice.CY, f.dtype)[:, None, None]
-    w_v = jnp.asarray(lattice.W)[:, None, None]
-    cu = cx_v * u_x[None] + cy_v * u_y[None]
-    c_sq = lattice.C_SQ
-    feq = w_v * rho[None] * (
-        1.0 + cu / c_sq + (cu * cu) / (2.0 * c_sq * c_sq)
-        - u_sq[None] / (2.0 * c_sq)
+
+def _local_fused_step_overlap(
+    f, obstacles, row_mask, n_fluid, params, axis: str
+):
+    """The comm/compute-overlapped form of :func:`_local_fused_step`
+    (VERDICT round-4 item 8, the other half of the ring-attention
+    pattern SURVEY §5 invokes): the halo ppermutes are issued FIRST and
+    the interior rows — whose stencil needs no ghost data — are computed
+    before anything consumes them, so XLA's latency-hiding scheduler can
+    fly the (async on TPU) collective-permutes behind the interior
+    compute; only the two 1-row edge bands wait on the wire.  Per-row
+    math is elementwise-identical to the unoverlapped step, so the two
+    forms are BITWISE equal (tests/test_overlap.py) — pure schedule, no
+    numerics.  Needs local_ny >= 3 (a 2-row slab has no interior)."""
+    f = _masked_accelerate(f, obstacles, row_mask, params.accel_w1, params.accel_w2)
+    n = jax.lax.psum(1, axis)
+    fwd = [(j, (j + 1) % n) for j in range(n)]
+    bwd = [(j, (j - 1) % n) for j in range(n)]
+    ly = f.shape[1]
+
+    # wire first: ghost above my row 0 (neighbor below's last row) and
+    # ghost below my last row (neighbor above's first row)
+    top = jax.lax.ppermute(f[:, -1:, :], axis, fwd)
+    bot = jax.lax.ppermute(f[:, :1, :], axis, bwd)
+
+    # interior output rows [1, ly-1): window = my own rows [0, ly) —
+    # independent of both permutes
+    interior = _stream_collide_rows(f, obstacles[1 : ly - 1], params, ly - 2)
+    # edge bands: 1-row outputs, each consuming one ghost
+    row0 = _stream_collide_rows(
+        jnp.concatenate([top, f[:, :2, :]], axis=1),
+        obstacles[0:1], params, 1,
     )
-    relaxed = streamed + params.omega_f32 * (feq - streamed)
-    reflected = streamed[jnp.asarray(lattice.OPP)]
-    f_next = jnp.where(obstacles[None], reflected, relaxed)
-
-    rho2 = jnp.sum(f_next, axis=0)
-    v_x = (f_next[1] + f_next[5] + f_next[8]
-           - (f_next[3] + f_next[6] + f_next[7])) / rho2
-    v_y = (f_next[2] + f_next[5] + f_next[6]
-           - (f_next[4] + f_next[7] + f_next[8])) / rho2
-    norm = jnp.sqrt(v_x * v_x + v_y * v_y)
-    tot_u_local = jnp.sum(jnp.where(obstacles, 0.0, norm))
-    av = jax.lax.psum(tot_u_local, axis) / n_fluid
+    row_last = _stream_collide_rows(
+        jnp.concatenate([f[:, -2:, :], bot], axis=1),
+        obstacles[ly - 1 : ly], params, 1,
+    )
+    f_next = jnp.concatenate([row0, interior, row_last], axis=1)
+    av = _av_reduce(f_next, obstacles, n_fluid, (axis,))
     return f_next, av
 
 
@@ -331,6 +386,91 @@ def _stream_compiled_supported(ly: int, nx: int) -> bool:
     return on_tpu and pallas_stream.window_supported(ly, nx)
 
 
+def _stream_compiled_supported_2d(ly: int, lx: int) -> bool:
+    """2-D-torus twin of :func:`_stream_compiled_supported` (the window is
+    additionally ±X_GHOST column-extended)."""
+    from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+    return on_tpu and pallas_stream.window_supported_2d(ly, lx)
+
+
+def resolve_shard_kernel(
+    params: LBMParams,
+    *,
+    n_devices: int | None = None,
+    mesh_shape: tuple[int, int] | None = None,
+    ca_steps: int = 1,
+    on_tpu: bool | None = None,
+) -> str:
+    """The sharded path's backend ladder (VERDICT round-4 item 1): given
+    the mesh and the per-shard slab shape, pick the fastest applicable
+    local kernel — mirroring the single-chip measured gates
+    (models/d2q9_bgk._resolve_backend) so a plain ``run(devices=N)`` on
+    TPU-shaped slabs lands on a Mosaic kernel without flags.
+
+    Ladder (first hit wins):
+      * ``stream`` — the HBM-streaming K=8 manual-DMA window kernel, for
+        slabs in the DMA-bound regime (> 1024² cells — the same measured
+        threshold the single-chip auto uses for its K-step tiers) whose
+        window tiles; it fixes the exchange schedule at K=8, so an
+        explicit incompatible ``ca_steps`` opts out of it.
+      * ``pallas`` — the Mosaic VMEM-window local kernel (1-step, or the
+        CA window kernel when ``ca_steps`` > 1 and the ±K window fits).
+      * ``jnp`` — the XLA-fused local step (CPU, odd shapes, thin slabs).
+
+    Explicit kernels are always honored; this only resolves ``"auto"``.
+    ``on_tpu`` overrides the platform probe (tests).
+    """
+    from advanced_hpc_lbm_tpu.ops import pallas_local, pallas_stream
+
+    if on_tpu is None:
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+    if not on_tpu:
+        return "jnp"
+    ny, nx = params.ny, params.nx
+    if mesh_shape is not None:
+        my, mx = mesh_shape
+        if ny % my or nx % mx:
+            return "jnp"  # indivisible: prepare_* raises the real error
+        ly, lx = ny // my, nx // mx
+    else:
+        if n_devices is None:
+            try:
+                n_devices = len(jax.devices())
+            except Exception:
+                return "jnp"
+        if ny % n_devices:
+            return "jnp"
+        ly, lx = ny // n_devices, nx
+    if ca_steps in (1, pallas_stream.K) and ly * lx > 1024 * 1024:
+        if mesh_shape is None and pallas_stream.window_supported(ly, lx):
+            return "stream"
+        if mesh_shape is not None and pallas_stream.window_supported_2d(
+            ly, lx
+        ):
+            return "stream"
+    if mesh_shape is not None:
+        # the Mosaic CA window kernel is 1-D-ring-specific
+        if ca_steps > 1:
+            return "jnp"
+        return "pallas" if pallas_local.supported(ly, lx) else "jnp"
+    if ca_steps > 1:
+        return (
+            "pallas"
+            if pallas_local.supported(ly, lx)
+            and pallas_local.ca_supported(ly, lx, ca_steps)
+            else "jnp"
+        )
+    return "pallas" if pallas_local.supported(ly, lx) else "jnp"
+
+
 def make_sharded_runner(
     mesh: Mesh,
     params: LBMParams,
@@ -340,6 +480,7 @@ def make_sharded_runner(
     interpret: bool = False,
     ca_steps: int = 1,
     collect_density: bool = False,
+    overlap: bool = False,
 ):
     """Build the jitted sharded main loop for a given mesh + deck shape.
 
@@ -362,8 +503,29 @@ def make_sharded_runner(
     window kernel (intermediate states live only inside the kernel),
     which debug-fall-back to the jnp CA path, mirroring the
     single-device debug fallback to the fused scan.
+    ``kernel="auto"`` resolves via :func:`resolve_shard_kernel`.
+    ``overlap`` uses the comm/compute-overlapped local step
+    (:func:`_local_fused_step_overlap` — issue the halo ppermutes first,
+    compute the halo-independent interior rows while they fly); jnp
+    1-step kernel only (the CA/stream schedules already amortize the
+    exchange K-fold, and the Mosaic kernels consume pre-assembled
+    windows).  Bitwise-equal outputs to the default schedule.
     Returns (runner, shardings) where runner(f0, obstacles,
     row_mask, n_fluid) -> (f_final, av_vels[, densities])."""
+    if kernel == "auto":
+        kernel = resolve_shard_kernel(
+            params, n_devices=mesh.devices.size, ca_steps=ca_steps
+        )
+    if overlap and (kernel != "jnp" or ca_steps > 1):
+        raise ValueError(
+            "overlap=True is the 1-step jnp local schedule; the CA/stream"
+            " schedules already amortize the exchange (use ca_steps)"
+        )
+    if overlap and params.ny // mesh.devices.size < 3:
+        raise ValueError(
+            "overlap=True needs local slabs >= 3 rows (a 2-row slab has "
+            "no halo-independent interior)"
+        )
     if kernel == "stream":
         from advanced_hpc_lbm_tpu.ops import pallas_stream
 
@@ -556,8 +718,10 @@ def make_sharded_runner(
                 return f, avs, denss
             return f, avs
 
+        step = _local_fused_step_overlap if overlap else _local_fused_step
+
         def body(carry_f, _):
-            f1, av = _local_fused_step(
+            f1, av = step(
                 carry_f, obstacles, row_mask, n_fluid, params, axis
             )
             if collect_density:
@@ -727,9 +891,20 @@ def make_sharded_runner_2d(
     (communication-avoiding ghost zones on the torus,
     _local_fused_ca_steps_2d; jnp kernel only — the Mosaic CA window
     kernel is 1-D-ring-specific, so kernel="pallas" + ca_steps > 1 raises).
+    ``kernel="stream"`` runs the HBM-streaming window kernel on each
+    shard's ±K-row/±X_GHOST-column ghost block, K=8 steps per two-phase
+    exchange (ops.pallas_stream.window_ca_steps_2d) — the x-sharded
+    growth path that lifts the full-nx row-slab VMEM ceiling (nx ≲ 33k)
+    of the 1-D stream composition.
     ``collect_density`` streams the per-step total density (double-psum'd
     scalar) like make_sharded_runner.
+    ``kernel="auto"`` resolves via :func:`resolve_shard_kernel`.
     Returns (runner, shardings) like make_sharded_runner."""
+    if kernel == "auto":
+        my, mx = mesh.devices.shape
+        kernel = resolve_shard_kernel(
+            params, mesh_shape=(my, mx), ca_steps=ca_steps
+        )
     if ca_steps > 1 and kernel == "pallas":
         raise ValueError(
             "ca_steps > 1 with kernel='pallas' is not supported on the 2-D "
@@ -737,10 +912,27 @@ def make_sharded_runner_2d(
             "periodic x axis); use kernel='jnp' or a 1-D mesh"
         )
     if kernel == "stream":
-        raise ValueError(
-            "kernel='stream' needs an unsharded periodic x axis (the "
-            "streaming window kernel rolls x in-kernel); use a 1-D mesh"
-        )
+        from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+        if ca_steps not in (1, pallas_stream.K):
+            raise ValueError(
+                f"kernel='stream' advances K={pallas_stream.K} steps per "
+                f"exchange by construction; pass ca_steps={pallas_stream.K} "
+                "or leave it at 1"
+            )
+        ca_steps = pallas_stream.K
+        if collect_density:
+            kernel = "jnp"  # debug fallback (per-step densities)
+        elif not interpret:
+            my, mx = mesh.devices.shape
+            ly, lx = params.ny // my, params.nx // mx
+            if not _stream_compiled_supported_2d(ly, lx):
+                raise ValueError(
+                    f"{ly}x{lx} shard block not runnable by the 2-D stream "
+                    "kernel (TPU backend, lane-aligned lx, 8-multiple "
+                    f"block >= {pallas_stream.K} rows required); use "
+                    "kernel='jnp'/'pallas' or interpret=True"
+                )
 
     f_spec = P(None, "y", "x")
     grid_spec = P("y", "x")
@@ -749,6 +941,57 @@ def make_sharded_runner_2d(
     def whole_run(f, obst, rmask, nf):
         def dens_of(f_local):
             return jax.lax.psum(jax.lax.psum(jnp.sum(f_local), "y"), "x")
+
+        if kernel == "stream":
+            from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+            k = ca_steps  # == pallas_stream.K
+            gx = pallas_stream.X_GHOST
+            lx = obst.shape[1]
+            # encoded mask, two-phase ±K/±gx extension (corner-carrying),
+            # ghost columns +4-flagged out of the reduction — all
+            # loop-invariant, built once
+            enc = pallas_stream.encode_masks(obst, rmask)
+            enc_ext = _extend_rows(enc, "y", k, row_axis=0)
+            enc_ext = _extend_rows(enc_ext, "x", gx, row_axis=1)
+            cols = jnp.arange(lx + 2 * gx)
+            ghost_cols = (cols < gx) | (cols >= gx + lx)
+            enc_ext = pallas_stream.mark_reduction_excluded(
+                enc_ext, jnp.broadcast_to(ghost_cols[None, :], enc_ext.shape)
+            )
+
+            def one_stream(carry_f):
+                w = _extend_rows(carry_f, "y", k, row_axis=1)
+                w = _extend_rows(w, "x", gx, row_axis=2)
+                f_own, tots = pallas_stream.window_ca_steps_2d(
+                    w, enc_ext, params, interpret=interpret
+                )
+                return f_own, jax.lax.psum(
+                    jax.lax.psum(tots, "y"), "x"
+                ) / nf
+
+            # two opaque kernel calls per scan body (copy-free carry,
+            # see ops.fused.run_simulation)
+            def body_s(carry_f, _):
+                f1, a1 = one_stream(carry_f)
+                f2, a2 = one_stream(f1)
+                return f2, jnp.concatenate([a1, a2])
+
+            f, av_chunks = jax.lax.scan(
+                body_s, f, None, length=n_iters // (2 * k)
+            )
+            avs = av_chunks.reshape(-1)
+            rem = n_iters % (2 * k)
+            if rem >= k:
+                f, av_mid = one_stream(f)
+                avs = jnp.concatenate([avs, av_mid])
+                rem -= k
+            for _ in range(rem):  # sub-K tail: 1-step jnp local step
+                f, av_last = _local_fused_step_2d(
+                    f, obst, rmask, nf, params, "y", "x"
+                )
+                avs = jnp.concatenate([avs, av_last[None]])
+            return f, avs
 
         if kernel == "pallas":
             obst8 = obst.astype(jnp.int8)
@@ -863,12 +1106,32 @@ def prepare_sharded_2d(
         raise ValueError(
             f"grid {params.ny}x{params.nx} not divisible by mesh {my}x{mx}"
         )
-    if ca_steps > 1 and (
-        params.ny // my < 2 * ca_steps or params.nx // mx < 2 * ca_steps
+    if kernel == "auto":
+        kernel = resolve_shard_kernel(
+            params, mesh_shape=mesh_shape, ca_steps=ca_steps
+        )
+    # the thin-block gate must see the EFFECTIVE schedule (mirrors
+    # prepare_sharded's stream normalization): stream runs K=8 windows
+    # gated by window_supported_2d (ly >= K), while its debug fallback
+    # really runs the jnp CA path at K=8 and needs 2K ghost zones
+    eff_kernel, eff_ca = kernel, ca_steps
+    if kernel == "stream":
+        from advanced_hpc_lbm_tpu.ops import pallas_stream
+
+        if ca_steps in (1, pallas_stream.K):
+            eff_ca = pallas_stream.K
+            eff_kernel = "jnp" if collect_density else "stream"
+        # else: make_sharded_runner_2d raises the actionable error below
+    if (
+        eff_kernel != "stream"
+        and eff_ca > 1
+        and (
+            params.ny // my < 2 * eff_ca or params.nx // mx < 2 * eff_ca
+        )
     ):
         raise ValueError(
             f"local block {params.ny // my}x{params.nx // mx} too thin for "
-            f"ca_steps={ca_steps} ghost zones"
+            f"ca_steps={eff_ca} ghost zones"
         )
     mesh = make_yx_mesh(my, mx)
     return make_sharded_runner_2d(
@@ -877,14 +1140,27 @@ def prepare_sharded_2d(
     )
 
 
+def _put(x, sharding):
+    """device_put that also works on a multi-host launch: a sharding
+    spanning other hosts' devices needs the global array assembled from
+    each process's (replicated, host-side) copy via the callback form
+    (parallel/multihost.py).  Single-process: plain device_put."""
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+    return jax.device_put(x, sharding)
+
+
 def execute_sharded(runner, shardings, f0, obstacles, params: LBMParams):
-    """device_put the inputs per the runner's shardings and invoke it."""
+    """Put the inputs per the runner's shardings and invoke it."""
     row_mask = jnp.zeros(params.ny, bool).at[params.ny - 2].set(True)
     n_fluid = jnp.sum(obstacles == 0).astype(jnp.float32)
-    f0 = jax.device_put(f0, shardings["f"])
-    obstacles = jax.device_put(obstacles, shardings["grid"])
-    row_mask = jax.device_put(row_mask, shardings["row"])
-    n_fluid = jax.device_put(n_fluid, shardings["scalar"])
+    f0 = _put(f0, shardings["f"])
+    obstacles = _put(obstacles, shardings["grid"])
+    row_mask = _put(row_mask, shardings["row"])
+    n_fluid = _put(n_fluid, shardings["scalar"])
     return runner(f0, obstacles, row_mask, n_fluid)
 
 
@@ -922,6 +1198,7 @@ def prepare_sharded(
     interpret: bool = False,
     ca_steps: int = 1,
     collect_density: bool = False,
+    overlap: bool = False,
 ):
     """Validate the 1-D y decomposition and build its runner.
     Returns (runner, shardings).  Split from run_sharded so callers
@@ -930,6 +1207,10 @@ def prepare_sharded(
     n = mesh.devices.size
     if params.ny % n:
         raise ValueError(f"ny={params.ny} not divisible by {n} devices")
+    if kernel == "auto":
+        kernel = resolve_shard_kernel(
+            params, n_devices=n, ca_steps=ca_steps
+        )
     # the thin-slab gate must see the EFFECTIVE schedule, mirroring
     # make_sharded_runner's stream normalization: explicit ca_steps=8
     # with kernel='stream' is the same K=8 window schedule the default
@@ -956,6 +1237,7 @@ def prepare_sharded(
     return make_sharded_runner(
         mesh, params, n_iters, kernel=kernel, interpret=interpret,
         ca_steps=ca_steps, collect_density=collect_density,
+        overlap=overlap,
     )
 
 
@@ -970,16 +1252,19 @@ def run_sharded(
     interpret: bool = False,
     ca_steps: int = 1,
     collect_density: bool = False,
+    overlap: bool = False,
 ) -> tuple[jax.Array, ...]:
     """Execute the full loop sharded along y. Drop-in replacement for
     ops.fused.run_simulation (same outputs, same numerics up to fp
     reduction order).  kernel="pallas" runs the Mosaic local kernel per
     shard (TPU production path); ca_steps=K > 1 exchanges halos every K
-    steps (communication-avoiding ghost zones; composes with kernel="pallas" via the Mosaic CA window kernel when the window fits VMEM)."""
+    steps (communication-avoiding ghost zones; composes with kernel="pallas" via the Mosaic CA window kernel when the window fits VMEM);
+    overlap=True issues halos before the interior compute (see
+    make_sharded_runner)."""
     iters = params.max_iters if n_iters is None else n_iters
     runner, sh = prepare_sharded(
         params, iters, n_devices=n_devices, kernel=kernel,
         interpret=interpret, ca_steps=ca_steps,
-        collect_density=collect_density,
+        collect_density=collect_density, overlap=overlap,
     )
     return execute_sharded(runner, sh, f0, obstacles, params)

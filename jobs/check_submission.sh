@@ -21,3 +21,7 @@ echo "== fast tests =="
 python -m pytest tests/ -x -q -m "not slow"
 
 echo "OK: submission checks passed"
+echo "NOTE: on TPU hardware also run the perf regression gate:"
+echo "  make bench MATRIX=1        # python bench.py --matrix (512^2-8192^2, 15% band)"
+echo "  python bench.py --matrix --matrix-huge   # + the 12288^2/16384^2 tiers"
+echo "Each round's matrix is committed as BENCH_MATRIX_rNN.json (BENCH.md)."

@@ -489,9 +489,12 @@ class TestStreamKernelSharded:
                 params, 16, n_devices=2, kernel="stream",
             )
 
-    def test_2d_mesh_raises(self):
+    def test_2d_mesh_untileable_block_raises(self):
+        """2-D torus + stream is supported since round 5
+        (tests/test_stream_2d.py), but a block whose lx isn't
+        lane-aligned must still die actionably, not lower garbage."""
         params, mask = self._deck(16)
-        with pytest.raises(ValueError, match="unsharded periodic x"):
+        with pytest.raises(ValueError, match="not tileable for the 2-D"):
             halo.run_sharded_2d(
                 reference.initial_state(params), jnp.asarray(mask), params,
                 (2, 2), kernel="stream", interpret=True,
