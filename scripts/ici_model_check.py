@@ -9,15 +9,18 @@ ring of one (the single TPU), neither of which measures ICI — the
 printed ``environment`` field says which regime the number came from.
 
 Usage:
-    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python scripts/ici_model_check.py --devices 8 --size 1024
+    python scripts/ici_model_check.py --cpu --devices 8 --size 1024
     python scripts/ici_model_check.py --devices 1 --size 1024   # real TPU
+
+(--cpu forces the virtual host mesh even where JAX_PLATFORMS is pinned
+at interpreter start, the same way tests/conftest.py does.)
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -45,9 +48,29 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=80)
     ap.add_argument("--kernel", default="auto")
     ap.add_argument("--ca-steps", type=int, default=1)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the virtual CPU mesh (8 host devices unless XLA_FLAGS "
+        "already sets a count) — needed where JAX_PLATFORMS is pinned at "
+        "interpreter start and the env var is ignored",
+    )
     args = ap.parse_args()
 
+    if args.cpu:
+        # jax may already be imported (sitecustomize) — that's fine: both
+        # XLA_FLAGS and the platform config are read lazily at backend
+        # init, which hasn't happened yet (same mechanism as conftest.py)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            n_virt = args.devices or 8
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_virt}"
+            ).strip()
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from advanced_hpc_lbm_tpu.ops import reference
